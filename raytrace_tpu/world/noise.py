@@ -1,0 +1,172 @@
+"""Procedural noise, as pure jittable JAX.
+
+TPU-native rebuild of the reference's CPU noise stack
+(reference: src/world/functions.rs:69-99 `MountainNoise2` over the `noise`
+crate's `BasicMulti` fractal).  Everything here is float32 elementwise math —
+ideal VPU work — and runs vectorized over whole coordinate grids on device,
+where the reference evaluates one sample at a time on the host.
+
+Determinism: gradients come from a counter-based integer hash of the lattice
+coordinates and a seed, so any region of the world can be generated
+independently, in any order, on any device, and produce identical terrain.
+(The reference instead relies on a process-global `lazy_static` noise object,
+src/world/generate.rs:7-9.)  Parity with the Rust `noise` crate is
+tolerance-level by design: same fractal construction (heterogeneous
+multifractal: octave signals scaled by accumulated altitude), same octave
+count / persistence / lacunarity, but a different underlying gradient hash,
+so terrain is statistically identical without being bit-identical.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# Defaults mirroring the `noise` crate's BasicMulti (persistence set at
+# reference src/world/functions.rs:79).
+DEFAULT_OCTAVES = 6
+DEFAULT_FREQUENCY = 2.0
+DEFAULT_LACUNARITY = 2.0943951023931953  # pi * 2 / 3
+DEFAULT_PERSISTENCE = 0.5
+
+
+def _hash2(xi: jax.Array, yi: jax.Array, seed) -> jax.Array:
+    """Counter-based 2D lattice hash -> int32 (full avalanche-ish mix)."""
+    h = xi * jnp.int32(374761393) + yi * jnp.int32(668265263)
+    h = h + jnp.int32(seed) * jnp.int32(1440662683)
+    h = (h ^ (h >> 13)) * jnp.int32(1274126177)
+    h = h ^ (h >> 16)
+    return h
+
+
+def hash3_u32(xi, yi, zi, seed) -> jax.Array:
+    """Counter-based 3D hash -> uint32; used for per-voxel material dither."""
+    h = (
+        xi.astype(jnp.int32) * jnp.int32(374761393)
+        + yi.astype(jnp.int32) * jnp.int32(668265263)
+        + zi.astype(jnp.int32) * jnp.int32(-1262997521)
+    )
+    h = h + jnp.int32(seed) * jnp.int32(1440662683)
+    h = (h ^ (h >> 13)) * jnp.int32(1274126177)
+    h = h ^ (h >> 16)
+    return h.astype(jnp.uint32)
+
+
+# The 8 classic Perlin gradient directions.
+_GRAD_X = jnp.array([1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 0.0, 0.0], jnp.float32)
+_GRAD_Y = jnp.array([1.0, 1.0, -1.0, -1.0, 0.0, 0.0, 1.0, -1.0], jnp.float32)
+
+
+def _grad_dot(hash_val: jax.Array, dx: jax.Array, dy: jax.Array) -> jax.Array:
+    """Dot of the hashed corner gradient with the offset vector.
+
+    Branch-free select over the 8 gradients (a gather over a table of 8 would
+    also work, but arithmetic select compiles to pure VPU ops on TPU).
+    """
+    h = hash_val & 7
+    # gx in {-1,0,1}: +1 for even h<6, -1 for odd h<6, 0 for h>=6.
+    u = jnp.where(h < 6, jnp.where(h & 1 == 0, dx, -dx), 0.0)
+    # gy: for h<4 use +/-dy by bit1; h in {4,5} -> 0; h in {6,7} -> +/-dy.
+    v = jnp.where(
+        h < 4,
+        jnp.where(h & 2 == 0, dy, -dy),
+        jnp.where(h >= 6, jnp.where(h & 1 == 0, dy, -dy), 0.0),
+    )
+    return u + v
+
+
+def perlin2(x: jax.Array, y: jax.Array, seed=0) -> jax.Array:
+    """2D gradient (Perlin) noise in [-1, 1], float32, any input shape."""
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    xi = x0.astype(jnp.int32)
+    yi = y0.astype(jnp.int32)
+    xf = x - x0
+    yf = y - y0
+
+    # Quintic fade.
+    u = xf * xf * xf * (xf * (xf * 6.0 - 15.0) + 10.0)
+    v = yf * yf * yf * (yf * (yf * 6.0 - 15.0) + 10.0)
+
+    n00 = _grad_dot(_hash2(xi, yi, seed), xf, yf)
+    n10 = _grad_dot(_hash2(xi + 1, yi, seed), xf - 1.0, yf)
+    n01 = _grad_dot(_hash2(xi, yi + 1, seed), xf, yf - 1.0)
+    n11 = _grad_dot(_hash2(xi + 1, yi + 1, seed), xf - 1.0, yf - 1.0)
+
+    nx0 = n00 + u * (n10 - n00)
+    nx1 = n01 + u * (n11 - n01)
+    n = nx0 + v * (nx1 - nx0)
+    # Normalize the +/-sqrt(2)/2 native range to [-1, 1] like the noise crate.
+    return n * jnp.float32(1.4142135623730951)
+
+
+def basic_multi(
+    x: jax.Array,
+    y: jax.Array,
+    seed=0,
+    octaves: int = DEFAULT_OCTAVES,
+    frequency: float = DEFAULT_FREQUENCY,
+    lacunarity: float = DEFAULT_LACUNARITY,
+    persistence: float = DEFAULT_PERSISTENCE,
+) -> jax.Array:
+    """Heterogeneous multifractal over per-octave-seeded Perlin sources.
+
+    Same spectral construction as the `noise` crate's BasicMulti: the first
+    octave sets the "altitude", later octaves are attenuated by persistence
+    and scaled by the accumulated result before being added.
+    """
+    px = jnp.asarray(x, jnp.float32) * frequency
+    py = jnp.asarray(y, jnp.float32) * frequency
+    result = perlin2(px, py, seed)
+    amp = 1.0
+    for octave in range(1, octaves):
+        px = px * lacunarity
+        py = py * lacunarity
+        amp *= persistence
+        signal = perlin2(px, py, seed + octave) * amp
+        result = result + signal * result
+    return result
+
+
+def _fbm01(x, y, seed):
+    """BasicMulti mapped to ~[0, 1] (reference functions.rs:82-84)."""
+    return basic_multi(x, y, seed) * 0.5 + 0.5
+
+
+def mountain_noise2(x: jax.Array, y: jax.Array, seed=0) -> jax.Array:
+    """Slope-eroded mountain noise in ~[0, 1].
+
+    Reference src/world/functions.rs:86-98: central-difference slope of the
+    fractal (d=0.2) erodes the base; the result is sharpened with a 2.6
+    power.  Negative eroded values (possible when slope > 1) produce NaN
+    under `powf` in the reference and then cast to integer 0; here they are
+    mapped to 0 explicitly.
+    """
+    d = 0.2
+    left = _fbm01(x - d, y, seed)
+    right = _fbm01(x + d, y, seed)
+    up = _fbm01(x, y - d, seed)
+    down = _fbm01(x, y + d, seed)
+    dx = (right - left) / (d * 2.0)
+    dy = (down - up) / (d * 2.0)
+    slope = jnp.sqrt(dx * dx + dy * dy)
+
+    base = _fbm01(x, y, seed)
+    eroded = base + (1.0 - slope) * 0.7
+    out = jnp.where(eroded >= 0.0, (jnp.abs(eroded) / 1.5) ** 2.6, 0.0)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def mountain_noise2_grid(origin_x, origin_y, shape, seed=0):
+    """Evaluate mountain noise on an integer grid; returns (Y, X) float32."""
+    ny, nx = shape
+    gx = origin_x + jnp.arange(nx, dtype=jnp.int32)[None, :]
+    gy = origin_y + jnp.arange(ny, dtype=jnp.int32)[:, None]
+    return mountain_noise2(
+        gx.astype(jnp.float32), gy.astype(jnp.float32) + jnp.zeros((ny, nx), jnp.float32), seed
+    )
