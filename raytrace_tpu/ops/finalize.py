@@ -1,0 +1,71 @@
+"""Frame finalization: composite, fog, filmic tonemap, dither.
+
+Reference: shaders/glsl/finalize.comp.  Pure elementwise math plus one
+blue-noise modular lookup; XLA fuses the whole thing into the end of the
+frame pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import LIGHTING_SCALE
+from .shading import filmic_curve
+
+FOG_SCALE = 32.0 * 128.0 * 8.0  # finalize.comp:46
+
+
+@jax.jit
+def finalize_frame(
+    albedo: jax.Array,
+    emission: jax.Array,
+    fog: jax.Array,
+    lighting: jax.Array,
+    depth: jax.Array,
+    blue_noise: jax.Array,
+) -> jax.Array:
+    """(H, W, 3) float32 final frame in [0, ~1].
+
+    Composite albedo*light*LIGHTING_SCALE + emission*4, depth-proportional
+    fog (terrain only), filmic curve, blue-noise dither /128, and the
+    vertical flip into window coordinates (finalize.comp:33-63).
+    """
+    h, w = albedo.shape[:2]
+    light = lighting * jnp.float32(LIGHTING_SCALE)
+    final = albedo * light + emission * 4.0
+
+    depth_f = depth.astype(jnp.float32)
+    fog_amount = jnp.minimum(depth_f / FOG_SCALE, 1.0)[..., None]
+    is_terrain = (depth < jnp.uint16(0xFFFF))[..., None]
+    final = jnp.where(is_terrain, final + (fog * 2.0 - final) * fog_amount, final)
+
+    final = filmic_curve(jnp, final)
+
+    ny, nx = blue_noise.shape[0], blue_noise.shape[1]
+    py = jnp.arange(h, dtype=jnp.int32)[:, None] % ny
+    px = jnp.arange(w, dtype=jnp.int32)[None, :] % nx
+    final = final + blue_noise[py, px, :3] / 128.0
+
+    # Window coordinates are upside-down relative to world space.
+    return final[::-1]
+
+
+def finalize_frame_np(albedo, emission, fog, lighting, depth, blue_noise):
+    """NumPy oracle (used by tests)."""
+    import numpy as np
+
+    from .shading import filmic_curve as fc
+
+    h, w = albedo.shape[:2]
+    final = albedo * (lighting * np.float32(LIGHTING_SCALE)) + emission * 4.0
+    fog_amount = np.minimum(depth.astype(np.float32) / FOG_SCALE, 1.0)[..., None]
+    is_terrain = (depth < np.uint16(0xFFFF))[..., None]
+    final = np.where(is_terrain, final + (fog * 2.0 - final) * fog_amount, final)
+    final = fc(np, final)
+    py = np.arange(h)[:, None] % blue_noise.shape[0]
+    px = np.arange(w)[None, :] % blue_noise.shape[1]
+    final = final + blue_noise[py, px, :3] / 128.0
+    return final[::-1]

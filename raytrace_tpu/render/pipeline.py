@@ -1,0 +1,150 @@
+"""Frame pipeline: orchestrates streaming, tracing, denoising, finalize.
+
+Reference: src/render/pipeline/pipeline.rs.  The reference records Vulkan
+command buffers per swapchain image and fences one frame deep; on TPU the
+entire frame — path trace, 6 denoise passes, finalize — is ONE jitted XLA
+program (`render_frame`), and frame pipelining comes for free from JAX's
+async dispatch: `draw_frame` returns a device array future without blocking
+the host.
+
+Uniform note: the reference's uniform block carries old_origin /
+old_transform_c* reprojection fields (structs.rs:17-24) that the shader
+never reads; they are tracked here (FrameUniforms.old_*) for API parity but
+do not feed the kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (
+    BLUE_NOISE_SIZE,
+    DEFAULT_HEIGHT,
+    DEFAULT_WIDTH,
+    MAX_TRACE_STEPS,
+)
+from ..ops.denoise import denoise_chain
+from ..ops.finalize import finalize_frame
+from ..ops.trace_jax import render_gbuffers
+from ..utils.blue_noise import get_blue_noise
+from .camera import Camera
+from .streaming import TerrainStreamer
+
+
+@dataclasses.dataclass
+class FrameUniforms:
+    """Per-frame uniform state (reference structs.rs:5-31 + pipeline.rs:195-227)."""
+
+    sun_angle: float = 0.0
+    seed: int = 0
+    origin: tuple = (0.0, 0.0, 0.0)
+    forward: tuple = (0.0, 1.0, 0.0)
+    up: tuple = (0.0, 0.0, 0.4)
+    right: tuple = (0.4, 0.0, 0.0)
+    old_origin: tuple = (0.0, 0.0, 0.0)
+    old_transform: tuple = ((1, 0, 0), (0, 1, 0), (0, 0, 1))
+    lr: tuple = (0, 0, 0)
+
+    def as_device_dict(self) -> dict:
+        return dict(
+            origin=jnp.asarray(self.origin, jnp.float32),
+            forward=jnp.asarray(self.forward, jnp.float32),
+            up=jnp.asarray(self.up, jnp.float32),
+            right=jnp.asarray(self.right, jnp.float32),
+            sun_angle=jnp.float32(self.sun_angle),
+            seed=jnp.int32(self.seed),
+            lr=jnp.asarray(self.lr, jnp.float32),
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "max_steps", "with_gbuffers")
+)
+def render_frame(
+    volume: jax.Array,
+    blue_noise: jax.Array,
+    uniforms: dict,
+    width: int = DEFAULT_WIDTH,
+    height: int = DEFAULT_HEIGHT,
+    max_steps: int = MAX_TRACE_STEPS,
+    with_gbuffers: bool = False,
+):
+    """Trace + denoise + finalize as one fused device program.
+
+    Returns the final (H, W, 3) float32 frame, plus the raw G-buffer dict if
+    requested.
+    """
+    gb = render_gbuffers(volume, blue_noise, uniforms, width, height, max_steps)
+    denoised = denoise_chain(gb["lighting"], gb["depth"], gb["normal"])
+    frame = finalize_frame(
+        gb["albedo"], gb["emission"], gb["fog"], denoised, gb["depth"], blue_noise
+    )
+    if with_gbuffers:
+        return frame, gb
+    return frame
+
+
+class Pipeline:
+    """Stateful frame loop: streaming + uniforms + the jitted frame program."""
+
+    def __init__(
+        self,
+        width: int = DEFAULT_WIDTH,
+        height: int = DEFAULT_HEIGHT,
+        seed: int = 0,
+        max_steps: int = MAX_TRACE_STEPS,
+        source: str = "device",
+        storage=None,
+    ):
+        self.width = width
+        self.height = height
+        self.max_steps = max_steps
+        self.uniforms = FrameUniforms()
+        self.streamer = TerrainStreamer(seed=seed, source=source, storage=storage)
+        self.streamer.initialize()
+        self.blue_noise = jnp.asarray(get_blue_noise(), jnp.float32) / 255.0
+
+    def draw_frame(self, camera: Camera, sun_angle: float) -> jax.Array:
+        """One frame: stream one slice toward the camera, then render.
+
+        Matches draw_frame ordering (pipeline.rs:134-235): terrain move
+        request uses (x, 0, z) — the reference never recenters along Y
+        (pipeline.rs:175-179) — then uniforms update, then submit.
+        """
+        self.streamer.request_move_towards((camera.origin[0], 0, camera.origin[2]))
+        self.streamer.setup_next_request()
+
+        forward, up, right = camera.scaled_basis()
+        u = self.uniforms
+        u.origin = tuple(camera.origin)
+        u.forward, u.up, u.right = forward, up, right
+        u.seed = (u.seed + 1) % BLUE_NOISE_SIZE
+        u.sun_angle = sun_angle
+        u.lr = self.streamer.get_render_offset()
+
+        frame = render_frame(
+            self.streamer.volume,
+            self.blue_noise,
+            u.as_device_dict(),
+            self.width,
+            self.height,
+            self.max_steps,
+        )
+
+        # Post-submit reprojection bookkeeping (pipeline.rs:214-227).
+        u.old_origin = u.origin
+        u.old_transform = _invert3(
+            tuple(zip(*(right, up, forward)))  # columns right,up,forward
+        )
+        return frame
+
+
+def _invert3(m):
+    """Inverse of a 3x3 matrix given as rows; plain python floats."""
+    a = np.array(m, np.float64)
+    return tuple(tuple(row) for row in np.linalg.inv(a).astype(np.float32))

@@ -1,0 +1,101 @@
+"""Denoiser and finalize tests against NumPy oracles + behavior properties."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from raytrace_tpu.ops.denoise import (
+    bilateral_denoise,
+    bilateral_denoise_np,
+    denoise_chain,
+)
+from raytrace_tpu.ops.finalize import finalize_frame, finalize_frame_np
+from raytrace_tpu.ops.shading import filmic_curve
+
+
+def _fake_gbuffers(h=32, w=32, seed=0):
+    rng = np.random.default_rng(seed)
+    lighting = rng.random((h, w, 3), np.float32)
+    depth = (rng.random((h, w)) * 4000).astype(np.uint16)
+    normal = rng.integers(0, 6, (h, w)).astype(np.uint8)
+    normal[:4] = 16  # a sky band
+    depth[:4] = 0xFFFF
+    return lighting, depth, normal
+
+
+def test_single_pass_matches_oracle():
+    lighting, depth, normal = _fake_gbuffers()
+    for size in (1, 2, 16):
+        got = np.asarray(bilateral_denoise(jnp.asarray(lighting), jnp.asarray(depth), jnp.asarray(normal), size))
+        want = bilateral_denoise_np(lighting, depth, normal, size)
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_sky_passthrough():
+    lighting, depth, normal = _fake_gbuffers()
+    out = np.asarray(denoise_chain(jnp.asarray(lighting), jnp.asarray(depth), jnp.asarray(normal)))
+    np.testing.assert_array_equal(out[:4], lighting[:4])
+
+
+def test_denoise_smooths_uniform_depth():
+    """On a flat surface the 6-pass chain must reduce noise variance a lot."""
+    rng = np.random.default_rng(1)
+    lighting = (0.5 + 0.3 * rng.standard_normal((64, 64, 3))).astype(np.float32)
+    depth = np.full((64, 64), 1000, np.uint16)
+    normal = np.full((64, 64), 4, np.uint8)
+    out = np.asarray(denoise_chain(jnp.asarray(lighting), jnp.asarray(depth), jnp.asarray(normal)))
+    assert out.std() < lighting.std() * 0.3
+    # Energy approximately preserved (weights normalize).
+    assert abs(out.mean() - lighting.mean()) < 0.02
+
+
+def test_edge_preservation():
+    """A depth edge must not bleed lighting across it."""
+    lighting = np.zeros((32, 32, 3), np.float32)
+    lighting[:, 16:] = 1.0
+    depth = np.zeros((32, 32), np.uint16)
+    depth[:, 16:] = 20000
+    normal = np.full((32, 32), 4, np.uint8)
+    out = np.asarray(denoise_chain(jnp.asarray(lighting), jnp.asarray(depth), jnp.asarray(normal)))
+    assert out[:, :12].mean() < 0.12
+    assert out[:, 20:].mean() > 0.88
+
+
+def test_filmic_curve_shape():
+    x = np.linspace(0, 3, 100, dtype=np.float32)
+    y = filmic_curve(np, x)
+    assert y[0] == 0.0
+    assert (np.diff(y) >= -1e-6).all()  # monotone
+    assert y[-1] == 1.0
+    # segment values (finalize.comp:21-31)
+    np.testing.assert_allclose(filmic_curve(np, np.float32(0.2)), 0.04, atol=1e-6)
+    np.testing.assert_allclose(filmic_curve(np, np.float32(1.0)), 0.51, atol=1e-6)
+
+
+def test_finalize_matches_oracle():
+    rng = np.random.default_rng(2)
+    h = w = 32
+    albedo = rng.random((h, w, 3), np.float32)
+    emission = np.zeros((h, w, 3), np.float32)
+    fog = rng.random((h, w, 3), np.float32) * 0.3
+    lighting = rng.random((h, w, 3), np.float32) * 0.2
+    depth = (rng.random((h, w)) * 65535).astype(np.uint16)
+    bn = rng.random((512, 512, 4)).astype(np.float32)
+    got = np.asarray(
+        finalize_frame(*map(jnp.asarray, (albedo, emission, fog, lighting, depth, bn)))
+    )
+    want = finalize_frame_np(albedo, emission, fog, lighting, depth, bn)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_finalize_flips_vertically():
+    h = w = 16
+    albedo = np.zeros((h, w, 3), np.float32)
+    albedo[0] = 1.0  # top row in world orientation
+    lighting = np.full((h, w, 3), 1.0 / 16.0, np.float32)
+    z = np.zeros((h, w, 3), np.float32)
+    depth = np.full((h, w), 0xFFFF, np.uint16)
+    bn = np.zeros((512, 512, 4), np.float32)
+    out = np.asarray(
+        finalize_frame(*map(jnp.asarray, (albedo, z, z, lighting, depth, bn)))
+    )
+    assert out[-1].mean() > out[0].mean()  # ends up at the bottom
