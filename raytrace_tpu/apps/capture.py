@@ -1,0 +1,93 @@
+"""Batch dataset capture: render many parameterized views to disk.
+
+Reference: capture_training_data.py — a 5 positions x 7 angles x 5 sun
+angles sweep that re-launched the whole binary per configuration (175
+process spawns; its .dat output path is vestigial, SURVEY §2 #32).
+
+TPU-native version: ONE process, one resident world volume, all
+configurations rendered back-to-back through the jitted frame program (the
+uniforms are traced arguments, so no recompilation between views), saved as
+PNGs + a manifest.  This is the working version of the capability the
+reference's script encodes (BASELINE config 4).
+
+Usage: python -m raytrace_tpu.apps.capture [--out DIR] [--size WxH] [--limit N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import time
+from pathlib import Path
+
+import numpy as np
+
+from ..render.camera import Camera
+from ..render.pipeline import Pipeline
+from ..utils.perf import StatTracker
+
+# The reference sweep grid (capture_training_data.py:19-38).
+POSITIONS = [
+    (-30.0, -128.0, 100.0),
+    (200.0, -50.0, 80.0),
+    (-150.0, 60.0, 120.0),
+    (40.0, 180.0, 60.0),
+    (-80.0, -40.0, 140.0),
+]
+NUM_HEADINGS = 7
+SUN_ANGLES = [0.2, 0.6, 1.0, 1.4, 1.8]
+
+
+def sweep_configs():
+    for pos in POSITIONS:
+        for i in range(NUM_HEADINGS):
+            heading = 2.0 * math.pi * i / NUM_HEADINGS
+            for sun in SUN_ANGLES:
+                yield dict(origin=pos, heading=heading, pitch=-0.3, sun_angle=sun)
+
+
+def run(out_dir="capture", width=512, height=512, limit=None, max_steps=2048, save=True):
+    configs = list(sweep_configs())
+    if limit:
+        configs = configs[:limit]
+    out = Path(out_dir)
+    if save:
+        out.mkdir(parents=True, exist_ok=True)
+    pipeline = Pipeline(width=width, height=height, max_steps=max_steps)
+    tracker = StatTracker(len(configs), "views")
+    manifest = []
+    t0 = time.monotonic()
+    for i, cfg in enumerate(configs):
+        cam = Camera(origin=list(cfg["origin"]), heading=cfg["heading"], pitch=cfg["pitch"])
+        frame = pipeline.draw_frame(cam, cfg["sun_angle"])
+        if save:
+            from ..testing.golden import save_png
+
+            name = f"view_{i:05d}.png"
+            save_png(out / name, np.asarray(frame))
+            manifest.append({**cfg, "file": name})
+        else:
+            np.asarray(frame)  # sync
+        tracker.advance()
+        print(f"\r{tracker.status()}   ", end="", flush=True)
+    print()
+    if save:
+        (out / "manifest.json").write_text(json.dumps(manifest, indent=1))
+    dt = time.monotonic() - t0
+    return len(configs), dt
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default="capture")
+    ap.add_argument("--size", default="512x512")
+    ap.add_argument("--limit", type=int, default=None)
+    ns = ap.parse_args()
+    w, h = map(int, ns.size.split("x"))
+    n, dt = run(ns.out, w, h, ns.limit)
+    print(f"{n} views in {dt:.1f}s ({n / dt:.2f} views/s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Interactive / scripted renderer loop.
+
+Reference: src/bin/main.rs — event loop, tick + draw_frame, rolling
+avg/max ms HUD (main.rs:41-54).  This environment is headless, so the
+"window" is either PNG frame dumps or a pure benchmark loop; the input
+system accepts a scripted key timeline (same control names as the
+reference: w/a/s/d/q/e movement, r/f sun).
+
+Usage:
+  python -m raytrace_tpu.apps.flythrough [x y z heading pitch sun]
+      [--frames N] [--size WxH] [--dump-every K] [--out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+
+from ..engine.game import Game
+from ..render.pipeline import Pipeline
+from ..utils.perf import RingBufferAverage
+
+
+def run(
+    args=None,
+    frames: int = 120,
+    width: int = 1024,
+    height: int = 1024,
+    dump_every: int = 0,
+    out_dir: str = "frames",
+    script=None,
+    max_steps: int = 2048,
+    quiet: bool = False,
+):
+    """Run the frame loop; returns (last_frame, avg_ms, max_ms).
+
+    `script` is an optional list of (frame_index, event, key) tuples, e.g.
+    [(0, "press", "w"), (60, "release", "w")].
+    """
+    game = Game(args)
+    t0 = time.monotonic()
+    pipeline = Pipeline(width=width, height=height, max_steps=max_steps)
+    if not quiet:
+        print(f"Created renderer (and world) in {time.monotonic() - t0:.2f}s.")
+
+    script = sorted(script or [], key=lambda e: e[0])
+    script_pos = 0
+    perf = RingBufferAverage(120)
+    frame_timer = time.monotonic()
+    frame = None
+    for i in range(frames):
+        while script_pos < len(script) and script[script_pos][0] <= i:
+            _, event, key = script[script_pos]
+            (game.controls.on_pressed if event == "press" else game.controls.on_released)(key)
+            script_pos += 1
+
+        millis = (time.monotonic() - frame_timer) * 1000.0
+        frame_timer = time.monotonic()
+        perf.push_sample(millis)
+        if not quiet:
+            print(f"\r{perf.average():.1f}ms / {perf.max():.1f}ms   ", end="", flush=True)
+
+        game.tick(millis / 1000.0)
+        frame = pipeline.draw_frame(game.camera, game.get_sun_angle())
+        game.controls.tick()
+
+        if dump_every and (i % dump_every == 0):
+            from ..testing.golden import save_png
+
+            Path(out_dir).mkdir(parents=True, exist_ok=True)
+            save_png(Path(out_dir) / f"frame_{i:05d}.png", np.asarray(frame))
+    # Sync the last frame so timing is honest.
+    frame = np.asarray(frame)
+    if not quiet:
+        print()
+    return frame, perf.average(), perf.max()
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("camera", nargs="*", help="x y z heading pitch sun_angle")
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--size", default="1024x1024")
+    ap.add_argument("--dump-every", type=int, default=0)
+    ap.add_argument("--out", default="frames")
+    ap.add_argument("--max-steps", type=int, default=2048)
+    ns = ap.parse_args()
+    w, h = map(int, ns.size.split("x"))
+    camera = ns.camera if len(ns.camera) == 6 else None
+    # Default scripted flight: forward with a slow sun sweep.
+    script = [(0, "press", "w"), (0, "press", "r"), (40, "release", "r")]
+    run(
+        camera,
+        frames=ns.frames,
+        width=w,
+        height=h,
+        dump_every=ns.dump_every,
+        out_dir=ns.out,
+        script=script,
+        max_steps=ns.max_steps,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,7 @@ from .shading import filmic_curve
 FOG_SCALE = 32.0 * 128.0 * 8.0  # finalize.comp:46
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("flip",))
 def finalize_frame(
     albedo: jax.Array,
     emission: jax.Array,
@@ -26,12 +26,17 @@ def finalize_frame(
     lighting: jax.Array,
     depth: jax.Array,
     blue_noise: jax.Array,
+    row0=0,
+    flip: bool = True,
 ) -> jax.Array:
     """(H, W, 3) float32 final frame in [0, ~1].
 
     Composite albedo*light*LIGHTING_SCALE + emission*4, depth-proportional
     fog (terrain only), filmic curve, blue-noise dither /128, and the
     vertical flip into window coordinates (finalize.comp:33-63).
+
+    `row0` offsets the dither pattern for banded rendering; `flip=False`
+    lets the multi-chip tile split flip once after band assembly.
     """
     h, w = albedo.shape[:2]
     light = lighting * jnp.float32(LIGHTING_SCALE)
@@ -45,12 +50,14 @@ def finalize_frame(
     final = filmic_curve(jnp, final)
 
     ny, nx = blue_noise.shape[0], blue_noise.shape[1]
-    py = jnp.arange(h, dtype=jnp.int32)[:, None] % ny
+    py = jnp.remainder(jnp.asarray(row0, jnp.int32) + jnp.arange(h, dtype=jnp.int32), ny)[
+        :, None
+    ]
     px = jnp.arange(w, dtype=jnp.int32)[None, :] % nx
     final = final + blue_noise[py, px, :3] / 128.0
 
     # Window coordinates are upside-down relative to world space.
-    return final[::-1]
+    return final[::-1] if flip else final
 
 
 def finalize_frame_np(albedo, emission, fog, lighting, depth, blue_noise):

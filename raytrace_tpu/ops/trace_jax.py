@@ -165,14 +165,17 @@ def trace_rays(
     }
 
 
-def camera_rays(uniforms: dict, width: int, height: int):
+def camera_rays(uniforms: dict, width: int, height: int, row0=0, rows=None):
     """Per-pixel primary ray origins/directions (raytrace.comp:296-315).
 
     uniforms carries origin/forward/up/right with up/right already scaled by
-    the 0.4 FOV factor (pipeline.rs:198-199).
+    the 0.4 FOV factor (pipeline.rs:198-199).  `row0`/`rows` select a band of
+    image rows (used by the multi-chip tile split); screen coordinates stay
+    relative to the full `height`.
     """
+    n_rows = height if rows is None else rows
     px = jnp.arange(width, dtype=jnp.float32)[None, :]
-    py = jnp.arange(height, dtype=jnp.float32)[:, None]
+    py = (jnp.asarray(row0, jnp.float32) + jnp.arange(n_rows, dtype=jnp.float32))[:, None]
     sx = (px / width) * 2.0 - 1.0
     sy = (py / height) * 2.0 - 1.0
     ray_dir = _normalize(
@@ -188,7 +191,7 @@ def camera_rays(uniforms: dict, width: int, height: int):
     return origin, ray_dir
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "max_steps"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "max_steps", "rows"))
 def render_gbuffers(
     fused_flat: jax.Array,
     blue_noise: jax.Array,
@@ -196,14 +199,18 @@ def render_gbuffers(
     width: int,
     height: int,
     max_steps: int = MAX_TRACE_STEPS,
+    row0=0,
+    rows: int | None = None,
 ) -> dict[str, jax.Array]:
     """Full lighting pass producing the 6 G-buffers (raytrace.comp:290-400).
 
-    blue_noise: (512, 512, 4) float32 in [0, 1].
+    blue_noise: (512, 512, 4) float32 in [0, 1].  `row0`/`rows` render only a
+    band of image rows (multi-chip tile split).
     Returns lighting/(H,W,3), depth u16, normal u8, albedo, emission, fog.
     """
     nh, nw = blue_noise.shape[0], blue_noise.shape[1]
-    origin, ray_dir = camera_rays(uniforms, width, height)
+    n_rows = height if rows is None else rows
+    origin, ray_dir = camera_rays(uniforms, width, height, row0, n_rows)
 
     sun = shading.sun_direction(jnp, uniforms["sun_angle"])
     sun_vec = jnp.stack(sun)
@@ -211,11 +218,14 @@ def render_gbuffers(
     sunlight_vec = jnp.stack(sunlight)
 
     seed = uniforms["seed"].astype(jnp.int32)
-    off_x = jnp.floor(blue_noise[seed // nw % nh, seed % nw, 0] * 255.0).astype(jnp.int32)
-    off_y = jnp.floor(blue_noise[seed // nw % nh, seed % nw, 1] * 255.0).astype(jnp.int32)
+    # Round (not floor): the texture holds k/255 quantized to f32, and
+    # k/255*255 can land an ulp below k depending on who did the division;
+    # rounding makes the offset independent of that (raytrace.comp:302-303).
+    off_x = jnp.floor(blue_noise[seed // nw % nh, seed % nw, 0] * 255.0 + 0.5).astype(jnp.int32)
+    off_y = jnp.floor(blue_noise[seed // nw % nh, seed % nw, 1] * 255.0 + 0.5).astype(jnp.int32)
     px = jnp.arange(width, dtype=jnp.int32)[None, :]
-    py = jnp.arange(height, dtype=jnp.int32)[:, None]
-    n1y = (py + off_y) % nh
+    py = (jnp.asarray(row0, jnp.int32) + jnp.arange(n_rows, dtype=jnp.int32))[:, None]
+    n1y = (jnp.remainder(py + off_y, nh)).astype(jnp.int32)
     n1x = (px + off_x) % nw
     noise1 = blue_noise[n1y, n1x]
     noise2 = blue_noise[(n1y + 2) % nh, (n1x + 2) % nw]

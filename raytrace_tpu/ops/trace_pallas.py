@@ -1,0 +1,397 @@
+"""Pallas TPU path-trace kernel (the hot tracer).
+
+Replaces the XLA gather-based DDA (ops/trace_jax.py) for procedurally
+generated worlds.  The reference's per-voxel minefield walk
+(raytrace.comp:82-183) is memory-bound random access — the worst workload
+for a TPU, where arbitrary per-lane gathers have no fast primitive.  This
+kernel keeps the exact hit semantics while touching no volume memory at all:
+
+  * Coarse skips use a 2-D "column-height pyramid": hmax_k[by, bx] is the
+    maximum solid height over a 2^k x 2^k block of columns (+1 safety
+    margin).  A 2^k-aligned cube is empty iff its bottom z >= hmax_k — the
+    same invariant as the reference minefield, derived from the heightfield
+    structure of the world (solid iff z < max(H(x,y), 0), see
+    world/generate.py).  The pyramid levels are tiny (64/256/1024 entries)
+    and live in VMEM; per-lane lookups are composed from 128-wide
+    `dynamic_gather` lane shuffles (Mosaic's native gather form).
+  * The fine phase marches columns: one analytic height evaluation (the
+    worldgen noise, pure VPU arithmetic) per column entered, with exact
+    crossing of the z = H surface or the column's x/y walls.  Per-voxel DDA
+    inside a column is equivalent to this closed form because a column's
+    occupancy is a single interval [0_or_below, H).
+  * Hit materials are the worldgen band function (generate.py) evaluated at
+    the hit voxel — bit-identical to the packed volume contents.
+
+Toroidal streaming, bounds (|pos - lr| >= 128 -> sky), normals, the 1e-4
+boundary epsilon, and the 0.001 hit nudge all match raytrace.comp; golden
+tests compare against both the NumPy oracle and the volume tracer.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import MAX_TRACE_STEPS, ROOT_BLOCK_SIZE
+from ..world.heightmap import heightmap_grid
+
+_HALF = ROOT_BLOCK_SIZE // 2  # 128
+LANES = 128
+
+# Pyramid levels (block sizes 8, 16, 32 columns).
+LEVELS = (3, 4, 5)
+
+
+# ---------------------------------------------------------------------------
+# Table construction (plain JAX; runs once per streaming move)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("seed",))
+def build_hf_tables(lr, seed: int = 0):
+    """Column-height pyramid for the loaded region centered at lr.
+
+    Returns dict with flattened i32 tables 'h3' (8,128), 'h4' (2,128),
+    'h5' (1,128 padded from 64) and the region origin 'r0' (2,) i32.
+    The +1 margin makes the tables conservative against any last-ulp
+    disagreement between this builder and the in-kernel height evaluation.
+    """
+    lr = jnp.asarray(lr, jnp.int32)
+    r0 = lr[:2] - _HALF
+    h = heightmap_grid(r0[0], r0[1], (ROOT_BLOCK_SIZE, ROOT_BLOCK_SIZE), seed=seed)
+    hs = jnp.maximum(h, 0) + 1  # solid ceiling + safety margin
+
+    def pool(x, k):
+        n = ROOT_BLOCK_SIZE >> k
+        return x.reshape(n, 1 << k, n, 1 << k).max((1, 3))
+
+    h3 = pool(hs, 3).reshape(8, 128)  # (32,32) -> 1024
+    h4 = pool(hs, 4).reshape(2, 128)  # (16,16) -> 256
+    h5 = jnp.pad(pool(hs, 5).reshape(-1), (0, 64)).reshape(1, 128)  # 64 -> 128
+    return {"h3": h3, "h4": h4, "h5": h5, "r0": r0}
+
+
+# ---------------------------------------------------------------------------
+# In-kernel helpers
+# ---------------------------------------------------------------------------
+
+
+def _lut(table, idx):
+    """Per-lane lookup of a small table from (W, 128)-shaped VMEM.
+
+    idx: (S, 128) int32 in [0, W*128).  Composed from Mosaic's native
+    within-row `dynamic_gather` (take_along_axis axis=1 at 128 lanes) plus
+    row selects — W rounds total.
+    """
+    rows = table.shape[0]
+    s = idx.shape[0]
+    hi = idx >> 7
+    lo = idx & 127
+    out = jnp.zeros(idx.shape, table.dtype)
+    for w in range(rows):
+        row = jnp.broadcast_to(table[w][None, :], (s, LANES))
+        g = jnp.take_along_axis(row, lo, axis=1)
+        out = jnp.where(hi == w, g, out)
+    return out
+
+
+def _height_inline(x, y, seed):
+    """Analytic worldgen height, identical formula to world/heightmap.py.
+
+    Inlined (rather than imported) only in the sense that it runs inside the
+    kernel; the math is the same jnp program, so XLA- and Mosaic-compiled
+    values agree except possibly in the last ulp of the transcendental in
+    the 2.6 power (absorbed by the +1 table margin and golden tolerances).
+    """
+    from ..world.heightmap import height_at
+
+    return height_at(x, y, seed)
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel(tile_rows: int, max_steps: int, seed: int):
+    S = tile_rows
+
+    def kernel(
+        scalars_ref,  # SMEM (8,): r0x, r0y, lrx, lry, lrz (as f32-bits? int32)
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (S,128) f32
+        h3_ref, h4_ref, h5_ref,  # tables
+        px_ref, py_ref, pz_ref, normal_ref, air_ref, packed_ref,  # outputs
+    ):
+        r0x = scalars_ref[0]
+        r0y = scalars_ref[1]
+        lrx = scalars_ref[2]
+        lry = scalars_ref[3]
+        lrz = scalars_ref[4]
+        lrf = (
+            jnp.float32(lrx),
+            jnp.float32(lry),
+            jnp.float32(lrz),
+        )
+
+        dxv, dyv, dzv = dx_ref[:], dy_ref[:], dz_ref[:]
+        # Normalize (callers may pass unnormalized directions).
+        inv_len = jax.lax.rsqrt(jnp.maximum(dxv * dxv + dyv * dyv + dzv * dzv, 1e-20))
+        dxv, dyv, dzv = dxv * inv_len, dyv * inv_len, dzv * inv_len
+
+        lpx = jnp.float32(1.0) / jnp.abs(dxv)
+        lpy = jnp.float32(1.0) / jnp.abs(dyv)
+        lpz = jnp.float32(1.0) / jnp.abs(dzv)
+        mulx = jnp.where(dxv > 0, jnp.float32(-1.0), jnp.float32(1.0))
+        muly = jnp.where(dyv > 0, jnp.float32(-1.0), jnp.float32(1.0))
+        mulz = jnp.where(dzv > 0, jnp.float32(-1.0), jnp.float32(1.0))
+        nx_id = jnp.where(dxv > 0, jnp.int32(1), jnp.int32(0))
+        ny_id = jnp.where(dyv > 0, jnp.int32(3), jnp.int32(2))
+        nz_id = jnp.where(dzv > 0, jnp.int32(5), jnp.int32(4))
+
+        h3 = h3_ref[:]
+        h4 = h4_ref[:]
+        h5 = h5_ref[:]
+
+        eps = jnp.float32(1e-4)
+
+        def height_of(xi, yi):
+            return _height_inline(xi, yi, seed)
+
+        def boundary_dist(p, mul, lp, step_f):
+            """Distance along the ray to the next step-aligned boundary."""
+            m = jnp.mod((p + jnp.float32(_HALF)) * mul, step_f)
+            return (eps + m) * lp
+
+        state = dict(
+            i=jnp.int32(0),
+            px=ox_ref[:],
+            py=oy_ref[:],
+            pz=oz_ref[:],
+            normal=jnp.zeros((S, LANES), jnp.int32),
+            air=jnp.zeros((S, LANES), jnp.int32),
+            done=jnp.zeros((S, LANES), jnp.int32),
+            hit_h=jnp.zeros((S, LANES), jnp.int32),  # height of hit column
+        )
+
+        def cond(s):
+            return (s["i"] < max_steps) & (jnp.sum(s["done"]) < S * LANES)
+
+        def body(s):
+            act = s["done"] == 0
+            px, py, pz = s["px"], s["py"], s["pz"]
+
+            xi = jnp.floor(px).astype(jnp.int32)
+            yi = jnp.floor(py).astype(jnp.int32)
+            zi = jnp.floor(pz).astype(jnp.int32)
+            rx = jnp.clip(xi - r0x, 0, ROOT_BLOCK_SIZE - 1)
+            ry = jnp.clip(yi - r0y, 0, ROOT_BLOCK_SIZE - 1)
+
+            # Pyramid lookups: block empty iff aligned z-bottom >= hmax.
+            i5 = (ry >> 5) * 8 + (rx >> 5)
+            i4 = (ry >> 4) * 16 + (rx >> 4)
+            i3 = (ry >> 3) * 32 + (rx >> 3)
+            z32 = (zi >> 5) << 5
+            z16 = (zi >> 4) << 4
+            z8 = (zi >> 3) << 3
+            e32 = z32 >= _lut(h5, i5)
+            e16 = z16 >= _lut(h4, i4)
+            e8 = z8 >= _lut(h3, i3)
+            step = jnp.where(e32, 32, jnp.where(e16, 16, jnp.where(e8, 8, 0)))
+            fine = step == 0
+            step_f = jnp.maximum(step, 1).astype(jnp.float32)
+
+            # --- fine phase: column height + hit tests ---
+            hcol = jnp.maximum(height_of(xi, yi), 0)
+            # Entered a solid voxel (z < column height): hit now, with the
+            # normal set by the previous move (reference samples after the
+            # move, raytrace.comp:137-159).
+            hit_now = fine & (zi < hcol)
+
+            # Coarse candidate move: next step-aligned boundary.
+            lxc = boundary_dist(px, mulx, lpx, step_f)
+            lyc = boundary_dist(py, muly, lpy, step_f)
+            lzc = boundary_dist(pz, mulz, lpz, step_f)
+
+            # Fine candidate move: next column wall (step 1 in x/y) or the
+            # z = hcol top surface for descending rays above the terrain.
+            lxf = boundary_dist(px, mulx, lpx, jnp.float32(1.0))
+            lyf = boundary_dist(py, muly, lpy, jnp.float32(1.0))
+            ztop = hcol.astype(jnp.float32)
+            lzf = jnp.where(
+                (dzv < 0) & (pz >= ztop),
+                (eps + (pz - ztop)) * lpz,
+                jnp.float32(jnp.inf),
+            )
+
+            lx = jnp.where(fine, lxf, lxc)
+            ly = jnp.where(fine, lyf, lyc)
+            lz = jnp.where(fine, lzf, lzc)
+
+            use_x = (lx < ly) & (lx < lz)
+            use_y = ~(lx < ly) & (ly < lz)
+            lmin = jnp.where(use_x, lx, jnp.where(use_y, ly, lz))
+            nrm = jnp.where(use_x, nx_id, jnp.where(use_y, ny_id, nz_id))
+
+            move = act & ~hit_now
+            npx = jnp.where(move, px + dxv * lmin, px)
+            npy = jnp.where(move, py + dyv * lmin, py)
+            npz = jnp.where(move, pz + dzv * lmin, pz)
+            nnormal = jnp.where(move, nrm, s["normal"])
+
+            oob = (
+                (jnp.abs(npx - lrf[0]) >= jnp.float32(_HALF))
+                | (jnp.abs(npy - lrf[1]) >= jnp.float32(_HALF))
+                | (jnp.abs(npz - lrf[2]) >= jnp.float32(_HALF))
+            )
+            new_air = move & oob
+            new_hit = act & hit_now
+
+            done = s["done"] | new_air.astype(jnp.int32) | new_hit.astype(jnp.int32)
+            return dict(
+                i=s["i"] + 1,
+                px=npx,
+                py=npy,
+                pz=npz,
+                normal=nnormal,
+                air=s["air"] | new_air.astype(jnp.int32),
+                done=done,
+                hit_h=jnp.where(new_hit, hcol, s["hit_h"]),
+            )
+
+        s = jax.lax.while_loop(cond, body, state)
+
+        px_ref[:] = s["px"]
+        py_ref[:] = s["py"]
+        pz_ref[:] = s["pz"]
+        normal_ref[:] = s["normal"]
+        air_ref[:] = s["air"]
+
+        # Hit material: the worldgen band at the hit voxel (generate.py).
+        hitm = (s["done"] == 1) & (s["air"] == 0)
+        xi = jnp.floor(s["px"]).astype(jnp.int32)
+        yi = jnp.floor(s["py"]).astype(jnp.int32)
+        zi = jnp.floor(s["pz"]).astype(jnp.int32)
+        packed = _packed_material(xi, yi, zi, seed)
+        packed_ref[:] = jnp.where(hitm, packed, jnp.uint32(0)).astype(jnp.uint32)
+
+    return kernel
+
+
+def _packed_material(xi, yi, zi, seed):
+    """Packed u32 material of a solid voxel (world/generate.py semantics)."""
+    from ..materials import PACKED_MATERIALS
+    from ..world.generate import material_band
+    from ..world.noise import hash3_u32
+
+    bits = hash3_u32(xi, yi, zi, seed + 1)
+    band = material_band(zi, bits)
+    grass = jnp.uint32(int(PACKED_MATERIALS[2]))
+    rock = jnp.uint32(int(PACKED_MATERIALS[5]))
+    snow = jnp.uint32(int(PACKED_MATERIALS[6]))
+    return jnp.where(band == 2, grass, jnp.where(band == 5, rock, snow))
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_steps", "seed", "tile_rows", "interpret")
+)
+def trace_rays_hf(
+    tables: dict,
+    origin: jax.Array,
+    direction: jax.Array,
+    lr: jax.Array,
+    max_steps: int = MAX_TRACE_STEPS,
+    seed: int = 0,
+    tile_rows: int = 32,
+    interpret: bool = False,
+) -> dict[str, jax.Array]:
+    """Heightfield-accelerated trace; drop-in for trace_jax.trace_rays.
+
+    origin/direction: (..., 3) float32.  `tables` from build_hf_tables —
+    must correspond to the same lr.  Returns the same dict as trace_rays.
+    """
+    from ..ops import shading
+
+    shape = origin.shape[:-1]
+    n = 1
+    for dim in shape:
+        n *= dim
+    per_tile = tile_rows * LANES
+    n_pad = -(-n // per_tile) * per_tile
+    grid = n_pad // per_tile
+
+    def flat(x):
+        f = x.reshape(n)
+        f = jnp.pad(f, (0, n_pad - n))
+        return f.reshape(grid * tile_rows, LANES)
+
+    o = origin.reshape(n, 3)
+    d = direction.reshape(n, 3)
+    comps = [flat(o[:, 0]), flat(o[:, 1]), flat(o[:, 2]),
+             flat(d[:, 0]), flat(d[:, 1]), flat(d[:, 2])]
+
+    lri = jnp.asarray(lr, jnp.int32)
+    scalars = jnp.stack(
+        [tables["r0"][0], tables["r0"][1], lri[0], lri[1], lri[2],
+         jnp.int32(0), jnp.int32(0), jnp.int32(0)]
+    )
+
+    kernel = _make_kernel(tile_rows, max_steps, seed)
+    ray_spec = pl.BlockSpec(
+        (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    table_spec = lambda t: pl.BlockSpec(
+        t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((grid * tile_rows, LANES), jnp.float32)
+    out_i32 = jax.ShapeDtypeStruct((grid * tile_rows, LANES), jnp.int32)
+    out_u32 = jax.ShapeDtypeStruct((grid * tile_rows, LANES), jnp.uint32)
+
+    px, py, pz, normal, air, packed = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [ray_spec] * 6
+        + [table_spec(tables["h3"]), table_spec(tables["h4"]), table_spec(tables["h5"])],
+        out_specs=[ray_spec] * 6,
+        out_shape=[out_shape, out_shape, out_shape, out_i32, out_i32, out_u32],
+        interpret=interpret,
+    )(scalars, *comps, tables["h3"], tables["h4"], tables["h5"])
+
+    def unflat(x, dtype=None):
+        f = x.reshape(n_pad)[:n].reshape(shape)
+        return f if dtype is None else f.astype(dtype)
+
+    pos = jnp.stack([unflat(px), unflat(py), unflat(pz)], axis=-1)
+    normal = unflat(normal)
+    air = unflat(air).astype(bool)
+    packed = unflat(packed)
+
+    distance = jnp.linalg.norm(origin - pos, axis=-1)
+    nxv, nyv, nzv = shading.face_normal_vector(jnp, normal)
+    pos = pos + jnp.float32(0.001) * jnp.stack([nxv, nyv, nzv], axis=-1)
+    albedo = jnp.stack(
+        [
+            ((packed >> 14) & 0x7F).astype(jnp.float32) / 127.0,
+            ((packed >> 7) & 0x7F).astype(jnp.float32) / 127.0,
+            (packed & 0x7F).astype(jnp.float32) / 127.0,
+        ],
+        axis=-1,
+    )
+    hit = ~air & (packed != 0)
+    return {
+        "position": pos,
+        "normal": normal,
+        "air": air,
+        "albedo": albedo,
+        "distance": distance,
+        "exhausted": ~air & ~hit,
+    }

@@ -31,7 +31,7 @@ from ..constants import (
 from ..ops.denoise import denoise_chain
 from ..ops.finalize import finalize_frame
 from ..ops.trace_jax import render_gbuffers
-from ..utils.blue_noise import get_blue_noise
+from ..utils.blue_noise import get_blue_noise_f32
 from .camera import Camera
 from .streaming import TerrainStreamer
 
@@ -107,7 +107,7 @@ class Pipeline:
         self.uniforms = FrameUniforms()
         self.streamer = TerrainStreamer(seed=seed, source=source, storage=storage)
         self.streamer.initialize()
-        self.blue_noise = jnp.asarray(get_blue_noise(), jnp.float32) / 255.0
+        self.blue_noise = jnp.asarray(get_blue_noise_f32())
 
     def draw_frame(self, camera: Camera, sun_angle: float) -> jax.Array:
         """One frame: stream one slice toward the camera, then render.

@@ -220,7 +220,8 @@ def render_gbuffers_np(
     # then per-pixel translation.
     sx_i = seed % blue_noise.shape[1]
     sy_i = (seed // blue_noise.shape[1]) % blue_noise.shape[0]
-    off = (noise_tex[sy_i, sx_i, :2] * 255.0).astype(np.int64)
+    # Round, matching ops/trace_jax.py (ulp-robust offset quantization).
+    off = np.floor(noise_tex[sy_i, sx_i, :2] * 255.0 + 0.5).astype(np.int64)
     n1y = (py + off[1]) % blue_noise.shape[0]
     n1x = (px + off[0]) % blue_noise.shape[1]
     noise1 = noise_tex[n1y, n1x]  # (H, W, 4)

@@ -48,6 +48,16 @@ def generate_blue_noise(
     )
 
 
+def get_blue_noise_f32() -> np.ndarray:
+    """Canonical float32 [0,1] conversion of the cached texture.
+
+    Always divide in numpy: the tracer's noise-offset quantization is
+    sensitive to the last ulp of k/255, so every consumer must use the same
+    division (see ops/trace_jax.py render_gbuffers).
+    """
+    return get_blue_noise().astype(np.float32) / 255.0
+
+
 def get_blue_noise() -> np.ndarray:
     """Cached 512x512x4 uint8 blue-noise texture."""
     if _CACHE.exists():

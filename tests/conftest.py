@@ -6,7 +6,9 @@ All tests run without a TPU (golden comparisons are exact on CPU); the
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force (not setdefault): the ambient environment may pin JAX_PLATFORMS to a
+# remote TPU platform; tests must run on local CPU with virtual devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +20,18 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+import jax
+
+# The env vars above are advisory; in this environment the axon TPU plugin
+# wins platform selection regardless, so force local CPU through the config
+# API (this is what actually works on jax 0.9) with 8 virtual devices for
+# the multi-chip tile-split tests.
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
+
 import numpy as np
 import pytest
 
@@ -26,17 +40,68 @@ import pytest
 def small_world():
     """A 128^3 generated world region (origin chunk-aligned at -64).
 
-    Session-scoped: worldgen on 1 CPU core is the slow part of the suite.
+    Cached on disk: worldgen on 1 CPU core dominates suite time otherwise.
+    Regenerated automatically if the cached copy mismatches a spot check.
     """
     from raytrace_tpu.world.generate import generate_box
 
+    cache = Path(__file__).parent / ".world_cache.npz"
+    if cache.exists():
+        try:
+            d = np.load(cache)
+            return {
+                "materials": d["materials"],
+                "minefield": d["minefield"],
+                "solid": d["solid"],
+                "origin": (-64, -64, -64),
+            }
+        except Exception:
+            pass
     box = generate_box((-64, -64, -64), (128, 128, 128), seed=0)
-    return {
+    out = {
         "materials": np.asarray(box["materials"]),
         "minefield": np.asarray(box["minefield"]),
         "solid": np.asarray(box["solid"]),
         "origin": (-64, -64, -64),
     }
+    try:
+        np.savez_compressed(cache, **out)
+    except OSError:
+        pass
+    return out
+
+
+@pytest.fixture(scope="session")
+def full_world_volume():
+    """A full 256^3 generated region (world [-128,128)^3), disk-cached."""
+    cache = Path(__file__).parent / ".world_cache_full.npz"
+    if cache.exists():
+        try:
+            d = np.load(cache)
+            return d["materials"], d["minefield"]
+        except Exception:
+            pass
+    # Reuse a pre-generated copy if the dev environment has one.
+    import os
+
+    for alt in ("/tmp/tw_full.npz",):
+        if os.path.exists(alt):
+            try:
+                d = np.load(alt)
+                np.savez_compressed(cache, materials=d["m"], minefield=d["f"])
+                return d["m"], d["f"]
+            except Exception:
+                pass
+    from raytrace_tpu.world.generate import generate_box
+
+    box = generate_box((-128, -128, -128), (256, 256, 256), seed=0)
+    mats = np.asarray(box["materials"])
+    mf = np.asarray(box["minefield"])
+    try:
+        np.savez_compressed(cache, materials=mats, minefield=mf)
+    except OSError:
+        pass
+    return mats, mf
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,71 @@
+"""Multi-chip tile-split tests on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytrace_tpu.ops.denoise import denoise_chain
+from raytrace_tpu.ops.finalize import finalize_frame
+from raytrace_tpu.ops.trace_jax import fuse_volume, render_gbuffers
+from raytrace_tpu.parallel.tiles import make_tile_mesh, render_frame_tiled
+from raytrace_tpu.render.camera import Camera
+from raytrace_tpu.utils.blue_noise import get_blue_noise_f32
+
+
+def _uniforms():
+    cam = Camera(origin=[-20.0, -50.0, 40.0])
+    cam.pitch = -0.35
+    fwd, up, right = cam.scaled_basis()
+    return dict(
+        origin=jnp.asarray(cam.origin, jnp.float32),
+        forward=jnp.asarray(fwd, jnp.float32),
+        up=jnp.asarray(up, jnp.float32),
+        right=jnp.asarray(right, jnp.float32),
+        sun_angle=jnp.float32(0.6),
+        seed=jnp.int32(7),
+        lr=jnp.zeros(3, jnp.float32),
+    )
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) >= 8
+
+
+def test_tiled_frame_matches_single_device(world_volume):
+    """The sharded pipeline (band split + ppermute halo exchange) must equal
+    the single-device pipeline exactly — the halo exchange is not an
+    approximation."""
+    mats, mf = world_volume
+    fused = fuse_volume(jnp.asarray(mats), jnp.asarray(mf))
+    bn = jnp.asarray(get_blue_noise_f32())
+    uni = _uniforms()
+    W, H = 64, 64
+    steps = 256
+
+    gb = render_gbuffers(fused, bn, uni, W, H, steps)
+    denoised = denoise_chain(gb["lighting"], gb["depth"], gb["normal"])
+    want = np.asarray(
+        finalize_frame(gb["albedo"], gb["emission"], gb["fog"], denoised, gb["depth"], bn)
+    )
+
+    mesh = make_tile_mesh(jax.devices()[:8])
+    got = np.asarray(render_frame_tiled(fused, bn, uni, W, H, mesh, steps))
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_graft_entry_dryrun():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = np.asarray(fn(*args))
+    assert out.shape == (128, 128, 3)
+    assert np.isfinite(out).all()
+
+    ge.dryrun_multichip(8)

@@ -1,0 +1,100 @@
+"""Terrain streaming tests (reference terrain_upload.rs semantics)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from raytrace_tpu.constants import CHUNK_SIZE, ROOT_BLOCK_SIZE, SLICE_SIZE
+from raytrace_tpu.render.streaming import (
+    AXIS_X,
+    AXIS_Y,
+    AXIS_Z,
+    Position,
+    TerrainStreamer,
+)
+from raytrace_tpu.world.generate import generate_box
+from raytrace_tpu.ops.trace_jax import fuse_volume
+
+
+def test_default_position_and_render_offset():
+    p = Position()
+    assert p.origin == (-2, -2, -2)
+    assert p.render_offset() == (0, 0, 0)
+
+
+def test_request_move_priority_and_threshold():
+    s = TerrainStreamer()
+    s.request_move_towards((SLICE_SIZE, 0, 0))  # == threshold: no move
+    assert not s.request_queue
+    s.request_move_towards((SLICE_SIZE + 1, 0, 0))
+    assert len(s.request_queue) == 1 and s.request_queue[0].axis == AXIS_X
+    # X takes priority over Z when both exceed (terrain_upload.rs:351-366).
+    s2 = TerrainStreamer()
+    s2.request_move_towards((100, 0, 100))
+    assert s2.request_queue[0].axis == AXIS_X
+
+
+def test_increase_wraps_origin():
+    s = TerrainStreamer()
+    for _ in range(ROOT_BLOCK_SIZE // SLICE_SIZE):  # 16 slices = full region
+        s.request_increase(AXIS_X)
+    assert s.cpu_position.origin == (2, -2, -2)
+    assert s.cpu_position.num_loaded_slices[0] == 0
+    assert s.cpu_position.render_offset()[0] == ROOT_BLOCK_SIZE
+
+
+def test_decrease_then_increase_roundtrip():
+    s = TerrainStreamer()
+    s.request_decrease(AXIS_Z)
+    assert s.cpu_position.num_loaded_slices[2] == 15
+    assert s.cpu_position.origin[2] == -6
+    s.request_increase(AXIS_Z)
+    assert s.cpu_position == Position()
+
+
+@pytest.mark.slow
+def test_streamed_slice_matches_regenerated_world(full_world_volume):
+    """After one +X slice move, the volume equals a from-scratch generation
+    of the shifted world (toroidal addressing invariant)."""
+    s = TerrainStreamer(seed=0)
+    mats, mf = full_world_volume
+    s.volume = fuse_volume(jnp.asarray(mats), jnp.asarray(mf))
+
+    s.request_increase(AXIS_X)
+    assert s.setup_next_request()
+    vol = np.asarray(s.volume).reshape(256, 256, 256)
+
+    # World x in [128,144) should now live at texels x in [0,16).
+    # (Minefield building needs 64-aligned boxes; generate the enclosing
+    # chunk-aligned slab and slice.)
+    box = generate_box((128, -128, -128), (64, 256, 256), seed=0)
+    fresh = np.asarray(
+        fuse_volume(box["materials"], box["minefield"])
+    ).reshape(256, 256, 64)[:, :, 0:16]
+    np.testing.assert_array_equal(vol[:, :, 0:16], fresh)
+    # The rest of the volume is untouched.
+    orig = np.asarray(fuse_volume(jnp.asarray(mats), jnp.asarray(mf))).reshape(
+        256, 256, 256
+    )
+    np.testing.assert_array_equal(vol[:, :, 16:], orig[:, :, 16:])
+    assert s.get_render_offset() == (16, 0, 0)
+
+
+def test_cache_backed_streaming(tmp_path, full_world_volume):
+    """The host/disk-cache path produces the same volume as device-side
+    generation for the initial region."""
+    from raytrace_tpu.world.storage import ChunkStorage
+
+    mats, mf = full_world_volume
+    want = np.asarray(fuse_volume(jnp.asarray(mats), jnp.asarray(mf)))
+
+    storage = ChunkStorage(tmp_path, seed=0)
+    s = TerrainStreamer(seed=0, source="cache", storage=storage)
+    s.initialize()
+    got = np.asarray(s.volume)
+    # Per-chunk and whole-region generation may disagree at a handful of
+    # borderline columns: the 2.6-power in the height formula is evaluated
+    # at different grid shapes, and an ulp shift across floor() moves the
+    # terrain height by one voxel there (observed: ~1e-5 of voxels).
+    mismatch = (got != want).mean()
+    assert mismatch < 1e-4, mismatch
