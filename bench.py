@@ -35,19 +35,25 @@ def main():
     from raytrace_tpu.render.camera import Camera
     from raytrace_tpu.render.pipeline import Pipeline
 
-    pipeline = Pipeline(width=WIDTH, height=HEIGHT)
+    tracer = os.environ.get("RAYTRACE_TPU_TRACER", "hf")
+    pipeline = Pipeline(width=WIDTH, height=HEIGHT, tracer=tracer)
     cam = Camera(origin=[-30.0, -100.0, 60.0])
     cam.pitch = -0.3
 
+    def sync(frame):
+        # Force completion with an on-device reduction + scalar readback.
+        # (A full-frame np.asarray would bill the host link, not the TPU;
+        # block_until_ready under-reports on this platform.)
+        return float(jnp.sum(frame))
+
     for i in range(WARMUP):
-        frame = pipeline.draw_frame(cam, 0.6)
-        np.asarray(frame)
+        sync(pipeline.draw_frame(cam, 0.6))
 
     t0 = time.monotonic()
     checksum = 0.0
     for i in range(FRAMES):
         frame = pipeline.draw_frame(cam, 0.6 + 0.01 * i)
-        checksum += float(np.asarray(frame)[0, 0, 0])  # host sync
+        checksum += sync(frame)
     dt = (time.monotonic() - t0) / FRAMES
 
     mrays = WIDTH * HEIGHT * RAYS_PER_PIXEL / dt / 1e6

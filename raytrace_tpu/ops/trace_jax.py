@@ -202,10 +202,29 @@ def render_gbuffers(
     row0=0,
     rows: int | None = None,
 ) -> dict[str, jax.Array]:
+    """G-buffers via the general volume tracer (see integrate_gbuffers)."""
+
+    def trace(o, d):
+        return trace_rays(fused_flat, o, d, uniforms["lr"], max_steps)
+
+    return integrate_gbuffers(trace, blue_noise, uniforms, width, height, row0, rows)
+
+
+def integrate_gbuffers(
+    trace,
+    blue_noise: jax.Array,
+    uniforms: dict,
+    width: int,
+    height: int,
+    row0=0,
+    rows: int | None = None,
+) -> dict[str, jax.Array]:
     """Full lighting pass producing the 6 G-buffers (raytrace.comp:290-400).
 
-    blue_noise: (512, 512, 4) float32 in [0, 1].  `row0`/`rows` render only a
-    band of image rows (multi-chip tile split).
+    `trace(origin, direction) -> hit dict` supplies the tracer (general
+    volume DDA or the Pallas heightfield kernel).  blue_noise: (512, 512, 4)
+    float32 in [0, 1].  `row0`/`rows` render only a band of image rows
+    (multi-chip tile split).
     Returns lighting/(H,W,3), depth u16, normal u8, albedo, emission, fog.
     """
     nh, nw = blue_noise.shape[0], blue_noise.shape[1]
@@ -229,9 +248,6 @@ def render_gbuffers(
     n1x = (px + off_x) % nw
     noise1 = blue_noise[n1y, n1x]
     noise2 = blue_noise[(n1y + 2) % nh, (n1x + 2) % nw]
-
-    def trace(o, d):
-        return trace_rays(fused_flat, o, d, uniforms["lr"], max_steps)
 
     def trace_sun(hit_pos, noise):
         d = sun_vec[None, None] + jnp.stack(
@@ -282,6 +298,14 @@ def render_gbuffers(
         ).astype(jnp.uint32),
     ).astype(jnp.uint16)
 
+    fog = sky(ray_dir, False) / 2.0
+    # In-kernel fault containment (raytrace.comp REPORT_ERROR, :5-7,387-400):
+    # rays that exhausted the step limit are highlighted pink in the fog
+    # buffer with a near-max depth so they fog to pure error color.
+    exhausted = primary["exhausted"][..., None]
+    fog = jnp.where(exhausted, jnp.array([1.0, 0.0, 1.0], jnp.float32), fog)
+    depth = jnp.where(primary["exhausted"], jnp.uint16(256 * 254), depth)
+
     return {
         "lighting": light / jnp.float32(LIGHTING_SCALE),
         "depth": depth,
@@ -290,5 +314,5 @@ def render_gbuffers(
         ),
         "albedo": jnp.where(hit_mask[..., None], primary["albedo"], 1.0),
         "emission": jnp.zeros_like(light),
-        "fog": sky(ray_dir, False) / 2.0,
+        "fog": fog,
     }

@@ -69,10 +69,11 @@ def build_hf_tables(lr, seed: int = 0):
         n = ROOT_BLOCK_SIZE >> k
         return x.reshape(n, 1 << k, n, 1 << k).max((1, 3))
 
+    h2 = pool(hs, 2).reshape(32, 128)  # (64,64) -> 4096
     h3 = pool(hs, 3).reshape(8, 128)  # (32,32) -> 1024
     h4 = pool(hs, 4).reshape(2, 128)  # (16,16) -> 256
     h5 = jnp.pad(pool(hs, 5).reshape(-1), (0, 64)).reshape(1, 128)  # 64 -> 128
-    return {"h3": h3, "h4": h4, "h5": h5, "r0": r0}
+    return {"h2": h2, "h3": h3, "h4": h4, "h5": h5, "r0": r0}
 
 
 # ---------------------------------------------------------------------------
@@ -121,9 +122,9 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
     S = tile_rows
 
     def kernel(
-        scalars_ref,  # SMEM (8,): r0x, r0y, lrx, lry, lrz (as f32-bits? int32)
+        scalars_ref,  # SMEM (8,) int32: r0x, r0y, lrx, lry, lrz
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (S,128) f32
-        h3_ref, h4_ref, h5_ref,  # tables
+        h2_ref, h3_ref, h4_ref, h5_ref,  # pyramid tables
         px_ref, py_ref, pz_ref, normal_ref, air_ref, packed_ref,  # outputs
     ):
         r0x = scalars_ref[0]
@@ -152,6 +153,7 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
         ny_id = jnp.where(dyv > 0, jnp.int32(3), jnp.int32(2))
         nz_id = jnp.where(dzv > 0, jnp.int32(5), jnp.int32(4))
 
+        h2 = h2_ref[:]
         h3 = h3_ref[:]
         h4 = h4_ref[:]
         h5 = h5_ref[:]
@@ -166,6 +168,51 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             m = jnp.mod((p + jnp.float32(_HALF)) * mul, step_f)
             return (eps + m) * lp
 
+        def classify(px, py, pz):
+            """Voxel coords + safe coarse step size from the pyramid."""
+            xi = jnp.floor(px).astype(jnp.int32)
+            yi = jnp.floor(py).astype(jnp.int32)
+            zi = jnp.floor(pz).astype(jnp.int32)
+            rx = jnp.clip(xi - r0x, 0, ROOT_BLOCK_SIZE - 1)
+            ry = jnp.clip(yi - r0y, 0, ROOT_BLOCK_SIZE - 1)
+            # Block empty iff its aligned z-bottom >= hmax over its columns.
+            e32 = ((zi >> 5) << 5) >= _lut(h5, (ry >> 5) * 8 + (rx >> 5))
+            e16 = ((zi >> 4) << 4) >= _lut(h4, (ry >> 4) * 16 + (rx >> 4))
+            e8 = ((zi >> 3) << 3) >= _lut(h3, (ry >> 3) * 32 + (rx >> 3))
+            step = jnp.where(e32, 32, jnp.where(e16, 16, jnp.where(e8, 8, 0)))
+            return xi, yi, zi, step
+
+        def advance(s, lx, ly, lz, move, hit_now, hcol):
+            """Shared move + bounds/hit bookkeeping for both loop phases."""
+            use_x = (lx < ly) & (lx < lz)
+            use_y = ~(lx < ly) & (ly < lz)
+            lmin = jnp.where(use_x, lx, jnp.where(use_y, ly, lz))
+            nrm = jnp.where(use_x, nx_id, jnp.where(use_y, ny_id, nz_id))
+
+            npx = jnp.where(move, s["px"] + dxv * lmin, s["px"])
+            npy = jnp.where(move, s["py"] + dyv * lmin, s["py"])
+            npz = jnp.where(move, s["pz"] + dzv * lmin, s["pz"])
+            nnormal = jnp.where(move, nrm, s["normal"])
+
+            oob = (
+                (jnp.abs(npx - lrf[0]) >= jnp.float32(_HALF))
+                | (jnp.abs(npy - lrf[1]) >= jnp.float32(_HALF))
+                | (jnp.abs(npz - lrf[2]) >= jnp.float32(_HALF))
+            )
+            new_air = move & oob
+            done = s["done"] | new_air.astype(jnp.int32) | hit_now.astype(jnp.int32)
+            return dict(
+                i=s["i"] + 1,
+                px=npx,
+                py=npy,
+                pz=npz,
+                normal=nnormal,
+                air=s["air"] | new_air.astype(jnp.int32),
+                done=done,
+                hit_h=jnp.where(hit_now, hcol, s["hit_h"]),
+                parked=s["parked"],
+            )
+
         state = dict(
             i=jnp.int32(0),
             px=ox_ref[:],
@@ -175,49 +222,76 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             air=jnp.zeros((S, LANES), jnp.int32),
             done=jnp.zeros((S, LANES), jnp.int32),
             hit_h=jnp.zeros((S, LANES), jnp.int32),  # height of hit column
+            parked=jnp.zeros((S, LANES), jnp.int32),
         )
 
-        def cond(s):
-            return (s["i"] < max_steps) & (jnp.sum(s["done"]) < S * LANES)
+        # The traversal alternates two masked loop phases (Mosaic has no
+        # usable lax.cond, so conditional work is skipped by phase, not by
+        # branch):
+        #   Phase C (coarse): pyramid steps only, no height evaluations;
+        #     lanes entering a non-empty 8-block park.
+        #   Phase F (fine): per-column march with one analytic height eval
+        #     per iteration; lanes escaping to an empty 8-block park.
+        # An outer loop alternates until every lane is done, so a bounce ray
+        # pays the expensive evaluations only while it is actually near
+        # terrain.
 
-        def body(s):
-            act = s["done"] == 0
+        def cond_c(s):
+            live = (s["done"] == 0) & (s["parked"] == 0)
+            return (s["i"] < max_steps) & (jnp.sum(live.astype(jnp.int32)) > 0)
+
+        def body_c(s):
+            act = (s["done"] == 0) & (s["parked"] == 0)
+            _, _, _, step = classify(s["px"], s["py"], s["pz"])
+            # Hysteresis: C hands over anything below an 8-step; F keeps
+            # lanes until they reach an 8-step.  Without the band, lanes at
+            # the terrain fringe thrash between phases every iteration.
+            near = step < 8
+            parked = s["parked"] | (act & near).astype(jnp.int32)
+            step_f = jnp.maximum(step, 1).astype(jnp.float32)
+            lx = boundary_dist(s["px"], mulx, lpx, step_f)
+            ly = boundary_dist(s["py"], muly, lpy, step_f)
+            lz = boundary_dist(s["pz"], mulz, lpz, step_f)
+            move = act & ~near
+            s = dict(s, parked=parked)
+            return advance(
+                s, lx, ly, lz, move, jnp.zeros((S, LANES), bool), s["hit_h"]
+            )
+
+        def cond_f(s):
+            live = (s["done"] == 0) & (s["parked"] == 0)
+            return (s["i"] < max_steps) & (jnp.sum(live.astype(jnp.int32)) > 0)
+
+        def body_f(s):
+            act = (s["done"] == 0) & (s["parked"] == 0)
             px, py, pz = s["px"], s["py"], s["pz"]
-
-            xi = jnp.floor(px).astype(jnp.int32)
-            yi = jnp.floor(py).astype(jnp.int32)
-            zi = jnp.floor(pz).astype(jnp.int32)
+            xi, yi, zi, step = classify(px, py, pz)
+            # Refine with the level-2 pyramid (4-blocks): grazing rays in
+            # the terrain fringe advance 4 voxels per iteration instead of
+            # marching single columns (the dominant secondary-ray cost).
             rx = jnp.clip(xi - r0x, 0, ROOT_BLOCK_SIZE - 1)
             ry = jnp.clip(yi - r0y, 0, ROOT_BLOCK_SIZE - 1)
-
-            # Pyramid lookups: block empty iff aligned z-bottom >= hmax.
-            i5 = (ry >> 5) * 8 + (rx >> 5)
-            i4 = (ry >> 4) * 16 + (rx >> 4)
-            i3 = (ry >> 3) * 32 + (rx >> 3)
-            z32 = (zi >> 5) << 5
-            z16 = (zi >> 4) << 4
-            z8 = (zi >> 3) << 3
-            e32 = z32 >= _lut(h5, i5)
-            e16 = z16 >= _lut(h4, i4)
-            e8 = z8 >= _lut(h3, i3)
-            step = jnp.where(e32, 32, jnp.where(e16, 16, jnp.where(e8, 8, 0)))
+            e4 = ((zi >> 2) << 2) >= _lut(h2, (ry >> 2) * 64 + (rx >> 2))
+            step = jnp.where(step == 0, jnp.where(e4, 4, 0), step)
             fine = step == 0
-            step_f = jnp.maximum(step, 1).astype(jnp.float32)
+            # Hysteresis: lanes reaching a >=8 step park for phase C;
+            # step-4 lanes keep moving here with coarse steps.
+            parked = s["parked"] | (act & (step >= 8)).astype(jnp.int32)
+            act = act & (step < 8)
 
-            # --- fine phase: column height + hit tests ---
             hcol = jnp.maximum(height_of(xi, yi), 0)
             # Entered a solid voxel (z < column height): hit now, with the
             # normal set by the previous move (reference samples after the
             # move, raytrace.comp:137-159).
-            hit_now = fine & (zi < hcol)
+            hit_now = act & fine & (zi < hcol)
 
-            # Coarse candidate move: next step-aligned boundary.
+            # Fine move: next column wall (step 1 in x/y) or the z = hcol
+            # top surface for descending rays above the terrain; step-8
+            # lanes take the 8-aligned coarse move instead.
+            step_f = jnp.maximum(step, 1).astype(jnp.float32)
             lxc = boundary_dist(px, mulx, lpx, step_f)
             lyc = boundary_dist(py, muly, lpy, step_f)
             lzc = boundary_dist(pz, mulz, lpz, step_f)
-
-            # Fine candidate move: next column wall (step 1 in x/y) or the
-            # z = hcol top surface for descending rays above the terrain.
             lxf = boundary_dist(px, mulx, lpx, jnp.float32(1.0))
             lyf = boundary_dist(py, muly, lpy, jnp.float32(1.0))
             ztop = hcol.astype(jnp.float32)
@@ -226,43 +300,25 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
                 (eps + (pz - ztop)) * lpz,
                 jnp.float32(jnp.inf),
             )
-
             lx = jnp.where(fine, lxf, lxc)
             ly = jnp.where(fine, lyf, lyc)
             lz = jnp.where(fine, lzf, lzc)
 
-            use_x = (lx < ly) & (lx < lz)
-            use_y = ~(lx < ly) & (ly < lz)
-            lmin = jnp.where(use_x, lx, jnp.where(use_y, ly, lz))
-            nrm = jnp.where(use_x, nx_id, jnp.where(use_y, ny_id, nz_id))
-
             move = act & ~hit_now
-            npx = jnp.where(move, px + dxv * lmin, px)
-            npy = jnp.where(move, py + dyv * lmin, py)
-            npz = jnp.where(move, pz + dzv * lmin, pz)
-            nnormal = jnp.where(move, nrm, s["normal"])
+            s = dict(s, parked=parked)
+            return advance(s, lx, ly, lz, move, hit_now, hcol)
 
-            oob = (
-                (jnp.abs(npx - lrf[0]) >= jnp.float32(_HALF))
-                | (jnp.abs(npy - lrf[1]) >= jnp.float32(_HALF))
-                | (jnp.abs(npz - lrf[2]) >= jnp.float32(_HALF))
-            )
-            new_air = move & oob
-            new_hit = act & hit_now
+        def outer_cond(s):
+            return (s["i"] < max_steps) & (jnp.sum(s["done"]) < S * LANES)
 
-            done = s["done"] | new_air.astype(jnp.int32) | new_hit.astype(jnp.int32)
-            return dict(
-                i=s["i"] + 1,
-                px=npx,
-                py=npy,
-                pz=npz,
-                normal=nnormal,
-                air=s["air"] | new_air.astype(jnp.int32),
-                done=done,
-                hit_h=jnp.where(new_hit, hcol, s["hit_h"]),
-            )
+        def outer_body(s):
+            s = dict(s, parked=jnp.zeros((S, LANES), jnp.int32))
+            s = jax.lax.while_loop(cond_c, body_c, s)
+            s = dict(s, parked=s["done"])  # only undone lanes run fine
+            s = jax.lax.while_loop(cond_f, body_f, s)
+            return s
 
-        s = jax.lax.while_loop(cond, body, state)
+        s = jax.lax.while_loop(outer_cond, outer_body, state)
 
         px_ref[:] = s["px"]
         py_ref[:] = s["py"]
@@ -310,15 +366,19 @@ def trace_rays_hf(
     lr: jax.Array,
     max_steps: int = MAX_TRACE_STEPS,
     seed: int = 0,
-    tile_rows: int = 32,
-    interpret: bool = False,
+    tile_rows: int = 16,
+    interpret: bool | None = None,
 ) -> dict[str, jax.Array]:
     """Heightfield-accelerated trace; drop-in for trace_jax.trace_rays.
 
     origin/direction: (..., 3) float32.  `tables` from build_hf_tables —
     must correspond to the same lr.  Returns the same dict as trace_rays.
+    interpret=None auto-selects interpreter mode off-TPU (CPU tests).
     """
     from ..ops import shading
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
 
     shape = origin.shape[:-1]
     n = 1
@@ -360,11 +420,11 @@ def trace_rays_hf(
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [ray_spec] * 6
-        + [table_spec(tables["h3"]), table_spec(tables["h4"]), table_spec(tables["h5"])],
+        + [table_spec(tables[k]) for k in ("h2", "h3", "h4", "h5")],
         out_specs=[ray_spec] * 6,
         out_shape=[out_shape, out_shape, out_shape, out_i32, out_i32, out_u32],
         interpret=interpret,
-    )(scalars, *comps, tables["h3"], tables["h4"], tables["h5"])
+    )(scalars, *comps, tables["h2"], tables["h3"], tables["h4"], tables["h5"])
 
     def unflat(x, dtype=None):
         f = x.reshape(n_pad)[:n].reshape(shape)
@@ -395,3 +455,37 @@ def trace_rays_hf(
         "distance": distance,
         "exhausted": ~air & ~hit,
     }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "max_steps", "seed", "rows", "interpret"),
+)
+def render_gbuffers_hf(
+    tables: dict,
+    blue_noise: jax.Array,
+    uniforms: dict,
+    width: int,
+    height: int,
+    max_steps: int = MAX_TRACE_STEPS,
+    seed: int = 0,
+    row0=0,
+    rows: int | None = None,
+    interpret: bool | None = None,
+) -> dict[str, jax.Array]:
+    """G-buffers via the Pallas heightfield tracer (hot path).
+
+    Same lighting integration as the volume path (trace_jax.render_gbuffers)
+    with the kernel swapped in; `tables` from build_hf_tables for the same
+    region as uniforms['lr'].
+    """
+    from .trace_jax import integrate_gbuffers
+
+    lr_i = uniforms["lr"].astype(jnp.int32)
+
+    def trace(o, d):
+        return trace_rays_hf(
+            tables, o, d, lr_i, max_steps=max_steps, seed=seed, interpret=interpret
+        )
+
+    return integrate_gbuffers(trace, blue_noise, uniforms, width, height, row0, rows)

@@ -63,23 +63,35 @@ class FrameUniforms:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "max_steps", "with_gbuffers")
+    jax.jit,
+    static_argnames=("width", "height", "max_steps", "with_gbuffers", "tracer", "seed"),
 )
 def render_frame(
-    volume: jax.Array,
+    world,
     blue_noise: jax.Array,
     uniforms: dict,
     width: int = DEFAULT_WIDTH,
     height: int = DEFAULT_HEIGHT,
     max_steps: int = MAX_TRACE_STEPS,
     with_gbuffers: bool = False,
+    tracer: str = "volume",
+    seed: int = 0,
 ):
     """Trace + denoise + finalize as one fused device program.
 
+    `world` is the fused u32 volume for tracer="volume" (general path) or
+    the build_hf_tables dict for tracer="hf" (Pallas heightfield hot path).
     Returns the final (H, W, 3) float32 frame, plus the raw G-buffer dict if
     requested.
     """
-    gb = render_gbuffers(volume, blue_noise, uniforms, width, height, max_steps)
+    if tracer == "hf":
+        from ..ops.trace_pallas import render_gbuffers_hf
+
+        gb = render_gbuffers_hf(
+            world, blue_noise, uniforms, width, height, max_steps, seed
+        )
+    else:
+        gb = render_gbuffers(world, blue_noise, uniforms, width, height, max_steps)
     denoised = denoise_chain(gb["lighting"], gb["depth"], gb["normal"])
     frame = finalize_frame(
         gb["albedo"], gb["emission"], gb["fog"], denoised, gb["depth"], blue_noise
@@ -100,14 +112,22 @@ class Pipeline:
         max_steps: int = MAX_TRACE_STEPS,
         source: str = "device",
         storage=None,
+        tracer: str = "hf",
     ):
+        """tracer: "hf" (Pallas heightfield kernel, the fast path for
+        generated worlds) or "volume" (general fused-volume DDA)."""
+        assert tracer in ("hf", "volume")
         self.width = width
         self.height = height
         self.max_steps = max_steps
+        self.seed = seed
+        self.tracer = tracer
         self.uniforms = FrameUniforms()
         self.streamer = TerrainStreamer(seed=seed, source=source, storage=storage)
         self.streamer.initialize()
         self.blue_noise = jnp.asarray(get_blue_noise_f32())
+        self._hf_tables = None
+        self._hf_lr = None
 
     def draw_frame(self, camera: Camera, sun_angle: float) -> jax.Array:
         """One frame: stream one slice toward the camera, then render.
@@ -127,13 +147,27 @@ class Pipeline:
         u.sun_angle = sun_angle
         u.lr = self.streamer.get_render_offset()
 
+        if self.tracer == "hf":
+            from ..ops.trace_pallas import build_hf_tables
+
+            if self._hf_lr != u.lr:
+                self._hf_tables = build_hf_tables(
+                    jnp.asarray(u.lr, jnp.int32), seed=self.seed
+                )
+                self._hf_lr = u.lr
+            world = self._hf_tables
+        else:
+            world = self.streamer.volume
+
         frame = render_frame(
-            self.streamer.volume,
+            world,
             self.blue_noise,
             u.as_device_dict(),
             self.width,
             self.height,
             self.max_steps,
+            tracer=self.tracer,
+            seed=self.seed,
         )
 
         # Post-submit reprojection bookkeeping (pipeline.rs:214-227).

@@ -286,6 +286,13 @@ def render_gbuffers_np(
         ).astype(np.uint32),
     ).astype(np.uint16)
 
+    fog = sky(ray_dir, False) / 2.0
+    # Error-limiter parity (raytrace.comp:387-400): exhausted rays turn the
+    # fog buffer pink with near-max depth.
+    exhausted = primary["exhausted"][..., None]
+    fog = np.where(exhausted, np.array([1.0, 0.0, 1.0], np.float32), fog)
+    depth = np.where(primary["exhausted"], np.uint16(256 * 254), depth)
+
     return {
         "lighting": light / np.float32(LIGHTING_SCALE),
         "depth": depth,
@@ -296,5 +303,5 @@ def render_gbuffers_np(
             np.float32
         ),
         "emission": np.zeros_like(light),
-        "fog": sky(ray_dir, False) / 2.0,
+        "fog": fog.astype(np.float32),
     }
