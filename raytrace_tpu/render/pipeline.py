@@ -113,9 +113,12 @@ class Pipeline:
         source: str = "device",
         storage=None,
         tracer: str = "hf",
+        preloaded_volume=None,
     ):
         """tracer: "hf" (Pallas heightfield kernel, the fast path for
-        generated worlds) or "volume" (general fused-volume DDA)."""
+        generated worlds) or "volume" (general fused-volume DDA).
+        preloaded_volume: optional fused u32 volume to skip initial
+        generation (tests, resumed sessions)."""
         assert tracer in ("hf", "volume")
         self.width = width
         self.height = height
@@ -124,7 +127,7 @@ class Pipeline:
         self.tracer = tracer
         self.uniforms = FrameUniforms()
         self.streamer = TerrainStreamer(seed=seed, source=source, storage=storage)
-        self.streamer.initialize()
+        self.streamer.initialize(volume=preloaded_volume)
         self.blue_noise = jnp.asarray(get_blue_noise_f32())
         self._hf_tables = None
         self._hf_lr = None

@@ -121,7 +121,12 @@ class TerrainStreamer:
         self.volume = None  # fused u32 (256^3,) device array
 
     # -- initialization (render_data.rs:203-301) --
-    def initialize(self) -> jax.Array:
+    def initialize(self, volume=None) -> jax.Array:
+        """Build/load the initial 4^3-chunk region.  A preassembled fused
+        volume may be supplied (tests, checkpoints)."""
+        if volume is not None:
+            self.volume = jax.device_put(jnp.asarray(volume).reshape(-1))
+            return self.volume
         origin_vox = tuple(c * CHUNK_SIZE for c in self.cpu_position.origin)
         if self.source == "device":
             box = generate_box(

@@ -132,6 +132,57 @@ def basic_multi(
     return result
 
 
+def worley2(x: jax.Array, y: jax.Array, seed=0) -> jax.Array:
+    """2D Worley (cellular) F1 distance noise, in [-1, ~0.4].
+
+    Matches the `noise` crate's range-enabled, zero-displacement Worley used
+    by the v1 mountain noise (reference functions.rs:26-37): the returned
+    value is distance-to-nearest-feature minus 1 ("worley's distance starts
+    at -1", functions.rs:41-42).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    xi = jnp.floor(x).astype(jnp.int32)
+    yi = jnp.floor(y).astype(jnp.int32)
+    best = jnp.full(jnp.broadcast_shapes(x.shape, y.shape), jnp.inf, jnp.float32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            cx = xi + dx
+            cy = yi + dy
+            hx = _hash2(cx, cy, seed)
+            hy = _hash2(cx, cy, seed + 0x3779B9)
+            fx = cx.astype(jnp.float32) + (hx & 0xFFFF).astype(jnp.float32) / 65536.0
+            fy = cy.astype(jnp.float32) + (hy & 0xFFFF).astype(jnp.float32) / 65536.0
+            d = jnp.sqrt((fx - x) ** 2 + (fy - y) ** 2)
+            best = jnp.minimum(best, d)
+    return best - 1.0
+
+
+def _map_from_range(v, lo, hi):
+    return jnp.clip((v - lo) / (hi - lo), 0.0, 1.0)
+
+
+def _map_to_range(v, lo, hi):
+    return jnp.clip(v * (hi - lo) + lo, 0.0, 1.0)
+
+
+def mountain_noise(x: jax.Array, y: jax.Array, seed=0) -> jax.Array:
+    """The v1 Worley+simplex mountain composite (reference
+    functions.rs:39-66) — present for inventory parity; the shipping
+    terrain uses mountain_noise2, as in the reference."""
+    base = worley2(x, y, seed) + 1.0
+    detail = worley2(x * 4.0, y * 4.0, seed) + 1.0
+    detail = _map_to_range(detail, 0.73, 1.0)
+    detail = detail * _map_from_range(base, 0.34, 0.79)
+    base = _map_from_range(base, 0.4, 1.0)
+    base = (base + detail) / 2.0
+    base = base**2.2
+    rustle = perlin2(x * 0.8, y * 0.8, seed + 7) + 0.5
+    rustle = _map_to_range(_map_from_range(rustle, 0.15, 1.0), 0.15, 1.0)
+    rustle = rustle**2.0
+    return base * rustle
+
+
 def _fbm01(x, y, seed):
     """BasicMulti mapped to ~[0, 1] (reference functions.rs:82-84)."""
     return basic_multi(x, y, seed) * 0.5 + 0.5
