@@ -25,7 +25,9 @@ import numpy as np
 BASELINE_MRAYS = 100.0
 WIDTH = HEIGHT = 1024
 RAYS_PER_PIXEL = 5
-WARMUP = 2
+# Warmup covers jit compilation AND terrain-streaming convergence (the
+# static bench camera needs ~4 slice moves before the region settles).
+WARMUP = 6
 FRAMES = 5
 
 
