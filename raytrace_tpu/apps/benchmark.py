@@ -1,0 +1,190 @@
+"""Benchmark suite reproducing the BASELINE measurement configs.
+
+BASELINE.md lists five configs; each prints one JSON line.  bench.py at the
+repo root remains the single headline number (config "full frame").
+
+  1. single loaded chunk, 512x512, primary rays only
+  2. full generated world, 1920x1080, one diffuse bounce
+  3. 60-frame flythrough with chunk streaming
+  4. batch dataset capture (views/s, extrapolated to the 10k-view target)
+  5. tile-split 4K path tracing over all available devices
+
+Usage: python -m raytrace_tpu.apps.benchmark [--configs 1,2,3,4] [--tracer hf]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import MAX_TRACE_STEPS
+from ..ops.denoise import denoise_chain
+from ..ops.finalize import finalize_frame
+from ..render.camera import Camera
+from ..render.pipeline import Pipeline
+from ..utils.blue_noise import get_blue_noise_f32
+
+
+def _sync(x):
+    return float(jnp.sum(x))
+
+
+def _emit(name, value, unit, extra=None):
+    rec = {"config": name, "value": round(value, 2), "unit": unit}
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def _uniforms(cam, sun_angle=0.6, seed=7, lr=(0, 0, 0)):
+    fwd, up, right = cam.scaled_basis()
+    return dict(
+        origin=jnp.asarray(cam.origin, jnp.float32),
+        forward=jnp.asarray(fwd, jnp.float32),
+        up=jnp.asarray(up, jnp.float32),
+        right=jnp.asarray(right, jnp.float32),
+        sun_angle=jnp.float32(sun_angle),
+        seed=jnp.int32(seed),
+        lr=jnp.asarray(lr, jnp.float32),
+    )
+
+
+def config1_single_chunk(tracer="volume"):
+    """512x512 primary-only over a single loaded chunk (volume tracer: this
+    config exercises arbitrary volume content)."""
+    from ..ops.trace_jax import fuse_volume, render_gbuffers
+    from ..world.generate import generate_chunk
+
+    mats, mf = generate_chunk((0, 0, 0), seed=0)
+    vol_m = jnp.zeros((256, 256, 256), jnp.uint32)
+    vol_f = jnp.full((256, 256, 256), 6, jnp.uint8)
+    vol_m = vol_m.at[128:192, 128:192, 128:192].set(mats)
+    vol_f = vol_f.at[128:192, 128:192, 128:192].set(mf)
+    fused = fuse_volume(vol_m, vol_f)
+    bn = jnp.asarray(get_blue_noise_f32())
+    cam = Camera(origin=[32.0, -40.0, 60.0])
+    cam.pitch = -0.5
+    uni = _uniforms(cam)
+    f = jax.jit(
+        lambda v, b, u: render_gbuffers(v, b, u, 512, 512, 1024, bounces=0)[
+            "albedo"
+        ]
+    )
+    _sync(f(fused, bn, uni))
+    t0 = time.monotonic()
+    n = 5
+    for _ in range(n):
+        _sync(f(fused, bn, uni))
+    dt = (time.monotonic() - t0) / n
+    return _emit("1_single_chunk_primary", 512 * 512 / dt / 1e6, "Mrays/s")
+
+
+def config2_world_1080p(tracer="hf"):
+    from ..ops.trace_pallas import build_hf_tables, render_gbuffers_hf
+
+    lr = jnp.zeros(3, jnp.int32)
+    tables = build_hf_tables(lr, seed=0)
+    bn = jnp.asarray(get_blue_noise_f32())
+    cam = Camera(origin=[-30.0, -100.0, 60.0])
+    cam.pitch = -0.3
+    uni = _uniforms(cam)
+
+    @jax.jit
+    def f(t, b, u):
+        gb = render_gbuffers_hf(t, b, u, 1920, 1080, MAX_TRACE_STEPS, 0, bounces=1)
+        d = denoise_chain(gb["lighting"], gb["depth"], gb["normal"])
+        return finalize_frame(gb["albedo"], gb["emission"], gb["fog"], d, gb["depth"], b)
+
+    _sync(f(tables, bn, uni))
+    t0 = time.monotonic()
+    n = 5
+    for _ in range(n):
+        _sync(f(tables, bn, uni))
+    dt = (time.monotonic() - t0) / n
+    rays = 1920 * 1080 * 3  # primary + sun + diffuse
+    return _emit(
+        "2_world_1080p_1bounce", rays / dt / 1e6, "Mrays/s", {"ms_per_frame": round(dt * 1e3, 1)}
+    )
+
+
+def config3_flythrough(tracer="hf", frames=60):
+    pipeline = Pipeline(width=1024, height=1024, tracer=tracer)
+    cam = Camera(origin=[-30.0, -100.0, 60.0])
+    cam.pitch = -0.1
+    # Warm up compile + initial streaming.
+    for _ in range(4):
+        _sync(pipeline.draw_frame(cam, 0.6))
+    t0 = time.monotonic()
+    for i in range(frames):
+        cam.origin[0] += 1.2  # fly +x: crosses a slice boundary every ~13 frames
+        _sync(pipeline.draw_frame(cam, 0.6))
+    dt = (time.monotonic() - t0) / frames
+    return _emit(
+        "3_flythrough_streaming", dt * 1e3, "ms/frame", {"fps": round(1 / dt, 2)}
+    )
+
+
+def config4_capture(tracer="hf", views=30):
+    from .capture import run
+
+    n, dt = run(width=512, height=512, limit=views, save=False)
+    rate = n / dt
+    return _emit(
+        "4_batch_capture", rate, "views/s", {"est_10k_views_min": round(10000 / rate / 60, 1)}
+    )
+
+
+def config5_tiled_4k(tracer="hf"):
+    from ..ops.trace_jax import fuse_volume
+    from ..parallel.tiles import make_tile_mesh, render_frame_tiled
+    from ..world.generate import generate_box
+
+    box = generate_box((-128, -128, -128), (256, 256, 256), seed=0)
+    fused = fuse_volume(box["materials"], box["minefield"])
+    bn = jnp.asarray(get_blue_noise_f32())
+    cam = Camera(origin=[-30.0, -100.0, 60.0])
+    cam.pitch = -0.3
+    uni = _uniforms(cam)
+    mesh = make_tile_mesh()
+    n_dev = len(jax.devices())
+    W, H = 3840, 2160
+    f = jax.jit(
+        lambda v, b, u: render_frame_tiled(v, b, u, W, H, mesh, MAX_TRACE_STEPS)
+    )
+    _sync(f(fused, bn, uni))
+    t0 = time.monotonic()
+    n = 3
+    for _ in range(n):
+        _sync(f(fused, bn, uni))
+    dt = (time.monotonic() - t0) / n
+    return _emit(
+        "5_tiled_4k", W * H * 5 / dt / 1e6, "Mrays/s", {"devices": n_dev, "ms": round(dt * 1e3)}
+    )
+
+
+CONFIGS = {
+    "1": config1_single_chunk,
+    "2": config2_world_1080p,
+    "3": config3_flythrough,
+    "4": config4_capture,
+    "5": config5_tiled_4k,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--configs", default="1,2,3,4")
+    ap.add_argument("--tracer", default="hf")
+    ns = ap.parse_args()
+    for c in ns.configs.split(","):
+        CONFIGS[c.strip()](tracer=ns.tracer)
+
+
+if __name__ == "__main__":
+    main()

@@ -50,11 +50,18 @@ def finalize_frame(
     final = filmic_curve(jnp, final)
 
     ny, nx = blue_noise.shape[0], blue_noise.shape[1]
-    py = jnp.remainder(jnp.asarray(row0, jnp.int32) + jnp.arange(h, dtype=jnp.int32), ny)[
-        :, None
-    ]
-    px = jnp.arange(w, dtype=jnp.int32)[None, :] % nx
-    final = final + blue_noise[py, px, :3] / 128.0
+    if isinstance(row0, int) and row0 == 0:
+        # Full-frame fast path: modular dither = tile, not gather.
+        dither = jnp.tile(
+            blue_noise[:, :, :3], (-(-h // ny), -(-w // nx), 1)
+        )[:h, :w]
+    else:
+        py = jnp.remainder(
+            jnp.asarray(row0, jnp.int32) + jnp.arange(h, dtype=jnp.int32), ny
+        )[:, None]
+        px = jnp.arange(w, dtype=jnp.int32)[None, :] % nx
+        dither = blue_noise[py, px, :3]
+    final = final + dither / 128.0
 
     # Window coordinates are upside-down relative to world space.
     return final[::-1] if flip else final

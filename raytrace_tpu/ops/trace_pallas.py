@@ -459,7 +459,9 @@ def trace_rays_hf(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "max_steps", "seed", "rows", "interpret"),
+    static_argnames=(
+        "width", "height", "max_steps", "seed", "rows", "interpret", "bounces"
+    ),
 )
 def render_gbuffers_hf(
     tables: dict,
@@ -472,6 +474,7 @@ def render_gbuffers_hf(
     row0=0,
     rows: int | None = None,
     interpret: bool | None = None,
+    bounces: int = 2,
 ) -> dict[str, jax.Array]:
     """G-buffers via the Pallas heightfield tracer (hot path).
 
@@ -488,4 +491,6 @@ def render_gbuffers_hf(
             tables, o, d, lr_i, max_steps=max_steps, seed=seed, interpret=interpret
         )
 
-    return integrate_gbuffers(trace, blue_noise, uniforms, width, height, row0, rows)
+    return integrate_gbuffers(
+        trace, blue_noise, uniforms, width, height, row0, rows, bounces
+    )
