@@ -69,11 +69,24 @@ def build_hf_tables(lr, seed: int = 0):
         n = ROOT_BLOCK_SIZE >> k
         return x.reshape(n, 1 << k, n, 1 << k).max((1, 3))
 
-    h2 = pool(hs, 2).reshape(32, 128)  # (64,64) -> 4096
-    h3 = pool(hs, 3).reshape(8, 128)  # (32,32) -> 1024
+    h2 = pool(hs, 2)  # (64, 64) hmax over 4-blocks
+    h3v = pool(hs, 3)  # (32, 32) hmax over 8-blocks
+    h3 = h3v.reshape(8, 128)
     h4 = pool(hs, 4).reshape(2, 128)  # (16,16) -> 256
     h5 = jnp.pad(pool(hs, 5).reshape(-1), (0, 64)).reshape(1, 128)  # 64 -> 128
-    return {"h2": h2, "h3": h3, "h4": h4, "h5": h5, "r0": r0}
+
+    # Sub-block deltas: each 8-block packs its four 4-block hmax values as
+    # (hmax8 - hmax4) clamped to u8, one per byte.  The kernel's fine phase
+    # recovers hmax4 from the single 1024-entry h3 lookup instead of a
+    # 4096-entry table (8 shuffle rounds instead of 32).  Clamping only
+    # under-reports the delta -> conservative (never skips real terrain).
+    delta = jnp.clip(h3v[:, :, None, None] - h2.reshape(32, 2, 32, 2).transpose(0, 2, 1, 3), 0, 255)
+    q = (delta[..., 0, 0]
+         | (delta[..., 0, 1] << 8)
+         | (delta[..., 1, 0] << 16)
+         | (delta[..., 1, 1] << 24))
+    hsub = q.astype(jnp.int32).reshape(8, 128)
+    return {"hsub": hsub, "h3": h3, "h4": h4, "h5": h5, "r0": r0}
 
 
 # ---------------------------------------------------------------------------
@@ -124,7 +137,7 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
     def kernel(
         scalars_ref,  # SMEM (8,) int32: r0x, r0y, lrx, lry, lrz
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (S,128) f32
-        h2_ref, h3_ref, h4_ref, h5_ref,  # pyramid tables
+        hsub_ref, h3_ref, h4_ref, h5_ref,  # pyramid tables
         px_ref, py_ref, pz_ref, normal_ref, air_ref, packed_ref,  # outputs
     ):
         r0x = scalars_ref[0]
@@ -153,7 +166,7 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
         ny_id = jnp.where(dyv > 0, jnp.int32(3), jnp.int32(2))
         nz_id = jnp.where(dzv > 0, jnp.int32(5), jnp.int32(4))
 
-        h2 = h2_ref[:]
+        hsub = hsub_ref[:]
         h3 = h3_ref[:]
         h4 = h4_ref[:]
         h5 = h5_ref[:]
@@ -169,18 +182,23 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             return (eps + m) * lp
 
         def classify(px, py, pz):
-            """Voxel coords + safe coarse step size from the pyramid."""
+            """Voxel coords + safe coarse step size from the pyramid.
+
+            Also returns the 8-block hmax value and region-relative coords
+            (reused by the fine phase's packed 4-block refinement)."""
             xi = jnp.floor(px).astype(jnp.int32)
             yi = jnp.floor(py).astype(jnp.int32)
             zi = jnp.floor(pz).astype(jnp.int32)
             rx = jnp.clip(xi - r0x, 0, ROOT_BLOCK_SIZE - 1)
             ry = jnp.clip(yi - r0y, 0, ROOT_BLOCK_SIZE - 1)
             # Block empty iff its aligned z-bottom >= hmax over its columns.
+            i3 = (ry >> 3) * 32 + (rx >> 3)
+            h8 = _lut(h3, i3)
             e32 = ((zi >> 5) << 5) >= _lut(h5, (ry >> 5) * 8 + (rx >> 5))
             e16 = ((zi >> 4) << 4) >= _lut(h4, (ry >> 4) * 16 + (rx >> 4))
-            e8 = ((zi >> 3) << 3) >= _lut(h3, (ry >> 3) * 32 + (rx >> 3))
+            e8 = ((zi >> 3) << 3) >= h8
             step = jnp.where(e32, 32, jnp.where(e16, 16, jnp.where(e8, 8, 0)))
-            return xi, yi, zi, step
+            return xi, yi, zi, step, h8, i3, rx, ry
 
         def advance(s, lx, ly, lz, move, hit_now, hcol):
             """Shared move + bounds/hit bookkeeping for both loop phases."""
@@ -242,7 +260,7 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
 
         def body_c(s):
             act = (s["done"] == 0) & (s["parked"] == 0)
-            _, _, _, step = classify(s["px"], s["py"], s["pz"])
+            _, _, _, step, _, _, _, _ = classify(s["px"], s["py"], s["pz"])
             # Hysteresis: C hands over anything below an 8-step; F keeps
             # lanes until they reach an 8-step.  Without the band, lanes at
             # the terrain fringe thrash between phases every iteration.
@@ -265,13 +283,17 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
         def body_f(s):
             act = (s["done"] == 0) & (s["parked"] == 0)
             px, py, pz = s["px"], s["py"], s["pz"]
-            xi, yi, zi, step = classify(px, py, pz)
-            # Refine with the level-2 pyramid (4-blocks): grazing rays in
-            # the terrain fringe advance 4 voxels per iteration instead of
-            # marching single columns (the dominant secondary-ray cost).
-            rx = jnp.clip(xi - r0x, 0, ROOT_BLOCK_SIZE - 1)
-            ry = jnp.clip(yi - r0y, 0, ROOT_BLOCK_SIZE - 1)
-            e4 = ((zi >> 2) << 2) >= _lut(h2, (ry >> 2) * 64 + (rx >> 2))
+            xi, yi, zi, step, h8, i3, rx, ry = classify(px, py, pz)
+            # Refine with the 4-block level: grazing rays in the terrain
+            # fringe advance 4 voxels per iteration instead of marching
+            # single columns (the dominant secondary-ray cost).  The 4-block
+            # hmax is reconstructed from the 8-block value and a packed
+            # per-quadrant byte delta (one cheap 1024-entry lookup instead
+            # of a 4096-entry one).
+            word = _lut(hsub, i3)
+            quad = (((ry >> 2) & 1) << 1) | ((rx >> 2) & 1)
+            delta = (word >> (quad << 3)) & 255
+            e4 = ((zi >> 2) << 2) >= (h8 - delta)
             step = jnp.where(step == 0, jnp.where(e4, 4, 0), step)
             fine = step == 0
             # Hysteresis: lanes reaching a >=8 step park for phase C;
@@ -420,11 +442,11 @@ def trace_rays_hf(
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [ray_spec] * 6
-        + [table_spec(tables[k]) for k in ("h2", "h3", "h4", "h5")],
+        + [table_spec(tables[k]) for k in ("hsub", "h3", "h4", "h5")],
         out_specs=[ray_spec] * 6,
         out_shape=[out_shape, out_shape, out_shape, out_i32, out_i32, out_u32],
         interpret=interpret,
-    )(scalars, *comps, tables["h2"], tables["h3"], tables["h4"], tables["h5"])
+    )(scalars, *comps, tables["hsub"], tables["h3"], tables["h4"], tables["h5"])
 
     def unflat(x, dtype=None):
         f = x.reshape(n_pad)[:n].reshape(shape)
