@@ -58,8 +58,14 @@ def run(out_dir="capture", width=512, height=512, limit=None, max_steps=2048, sa
     tracker = StatTracker(len(configs), "views")
     manifest = []
     t0 = time.monotonic()
+    last_origin = None
     for i, cfg in enumerate(configs):
         cam = Camera(origin=list(cfg["origin"]), heading=cfg["heading"], pitch=cfg["pitch"])
+        if cfg["origin"] != last_origin:
+            # Recenter the world region on the new viewpoint (the reference
+            # sweep relaunched the process per position for the same effect).
+            pipeline.teleport(cam)
+            last_origin = cfg["origin"]
         frame = pipeline.draw_frame(cam, cfg["sun_angle"])
         if save:
             from ..testing.golden import save_png

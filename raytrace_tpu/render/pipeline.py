@@ -132,6 +132,19 @@ class Pipeline:
         self._hf_tables = None
         self._hf_lr = None
 
+    def teleport(self, camera: Camera) -> None:
+        """Instantly recenter the world region on the camera (capture /
+        spawn); regular per-frame streaming handles the residual drift."""
+        self.streamer.teleport((camera.origin[0], 0.0, camera.origin[2]))
+        self._hf_lr = None  # invalidate heightfield tables
+        # Drain any residual sub-slice drift so the next frame is centered.
+        for _ in range(8):
+            self.streamer.request_move_towards(
+                (camera.origin[0], 0, camera.origin[2])
+            )
+            if not self.streamer.setup_next_request():
+                break
+
     def draw_frame(self, camera: Camera, sun_angle: float) -> jax.Array:
         """One frame: stream one slice toward the camera, then render.
 

@@ -107,6 +107,33 @@ def _generate_and_apply(volume, w0, ns, axis: int, shape_xyz, seed: int):
     return _store_slab(volume, slab, ns, axis)
 
 
+@functools.partial(jax.jit, static_argnames=("seed",))
+def _generate_region(origin_chunks, ns, seed: int):
+    """Generate a full 256^3 region at slice-granular world offset.
+
+    World start w0 = origin*64 + ns*16 is not chunk-aligned when ns != 0,
+    so terrain comes from the 64-aligned 320^3 enclosure, sliced, then
+    rolled into texel space ((w + 128) mod 256 addressing).
+    """
+    w0 = origin_chunks * CHUNK_SIZE + ns * SLICE_SIZE
+    aligned0 = w0 - jnp.remainder(w0, CHUNK_SIZE)
+    enc = ROOT_BLOCK_SIZE + CHUNK_SIZE
+    box = generate_box(
+        (aligned0[0], aligned0[1], aligned0[2]), (enc, enc, enc), seed=seed
+    )
+    fused = (
+        box["materials"].astype(jnp.uint32)
+        | (box["minefield"].astype(jnp.uint32) << jnp.uint32(24))
+    )
+    start = w0 - aligned0
+    slab = jax.lax.dynamic_slice(
+        fused, (start[2], start[1], start[0]), (ROOT_BLOCK_SIZE,) * 3
+    )
+    t = ns * SLICE_SIZE
+    slab = jnp.roll(slab, (t[2], t[1], t[0]), (0, 1, 2))
+    return slab.reshape(-1)
+
+
 class TerrainStreamer:
     """Owns the resident fused world volume and streams slices into it."""
 
@@ -149,6 +176,32 @@ class TerrainStreamer:
             self.volume = fuse_volume(jnp.asarray(mats), jnp.asarray(mf))
         self.volume = jax.device_put(self.volume)
         return self.volume
+
+    def teleport(self, center) -> None:
+        """Recenter the loaded region on an arbitrary world position.
+
+        The reference has no equivalent (its dataset sweep relaunches the
+        whole process per camera position, capture_training_data.py:9);
+        here the region is regenerated around the target in one device
+        call.  The center quantizes to the slice grid (16 voxels); region
+        origins keep the o = -2 (mod 4) chunk invariant the toroidal
+        addressing depends on, with the remainder carried in
+        num_loaded_slices exactly as streaming would have left it.
+        """
+        assert self.source == "device", "teleport requires device worldgen"
+        origin, ns = [], []
+        for c in center:
+            total16 = int(round(float(c) / SLICE_SIZE))
+            k, n = divmod(total16, SLICES_PER_ROOT)
+            origin.append(-_HALF_CHUNKS + (ROOT_BLOCK_SIZE // CHUNK_SIZE) * k)
+            ns.append(n)
+        pos = Position(tuple(origin), tuple(ns))
+        self.cpu_position = pos
+        self.gpu_position = pos
+        self.request_queue.clear()
+        self.volume = _generate_region(
+            jnp.asarray(pos.origin, jnp.int32), jnp.asarray(ns, jnp.int32), self.seed
+        )
 
     # -- request generation (terrain_upload.rs:294-349) --
     def request_increase(self, axis: int) -> None:

@@ -80,6 +80,33 @@ def test_streamed_slice_matches_regenerated_world(full_world_volume):
     assert s.get_render_offset() == (16, 0, 0)
 
 
+def test_teleport_volume_matches_streamed_addressing():
+    """Teleporting to a slice-offset position produces a volume whose
+    toroidal addressing matches direct generation: texel (w+128)%256 holds
+    world voxel w for every w in the region."""
+    s = TerrainStreamer(seed=0)
+    s.teleport((100.0, 0.0, 40.0))
+    off = s.get_render_offset()
+    assert all(o % SLICE_SIZE == 0 for o in off)
+    assert abs(off[0] - 100) <= SLICE_SIZE and abs(off[2] - 40) <= SLICE_SIZE
+    vol = np.asarray(s.volume).reshape(256, 256, 256)
+
+    # Spot-check one 64-aligned sub-box of the region against generate_box.
+    w0 = (off[0] - 64, off[1] - 64, off[2] - 64)
+    w0 = tuple((v // 64) * 64 for v in w0)
+    box = generate_box(w0, (64, 64, 64), seed=0)
+    fresh = np.asarray(fuse_volume(box["materials"], box["minefield"])).reshape(
+        64, 64, 64
+    )
+    tz, ty, tx = ((w0[2] + 128) % 256, (w0[1] + 128) % 256, (w0[0] + 128) % 256)
+    got = vol[tz : tz + 64, ty : ty + 64, tx : tx + 64]
+    # Exact up to the worldgen grid-shape ulp effect (see
+    # test_cache_backed_streaming): a handful of borderline columns may
+    # shift height by one voxel between a 320^3 and a 64^3 evaluation.
+    mismatch = (got != fresh).mean()
+    assert mismatch < 1e-3, mismatch
+
+
 def test_cache_backed_streaming(tmp_path, full_world_volume):
     """The host/disk-cache path produces the same volume as device-side
     generation for the initial region."""
