@@ -270,12 +270,6 @@ def integrate_gbuffers(
         noise1 = blue_noise[n1y, n1x]
         noise2 = blue_noise[(n1y + 2) % nh, (n1x + 2) % nw]
 
-    def trace_sun(hit_pos, noise):
-        d = sun_vec[None, None] + jnp.stack(
-            [noise[..., 0], noise[..., 1], jnp.zeros_like(noise[..., 0])], -1
-        ) * jnp.float32(0.05)
-        return trace(hit_pos, _normalize(d))
-
     def sky(d, include_sun):
         r, g, b = shading.sample_sky(
             jnp, (d[..., 0], d[..., 1], d[..., 2]), sun, sunlight, include_sun
@@ -286,30 +280,44 @@ def integrate_gbuffers(
     primary = trace(origin, ray_dir)
     hit_mask = ~primary["air"]
 
+    def sun_dir_from(noise):
+        d = sun_vec[None, None] + jnp.stack(
+            [noise[..., 0], noise[..., 1], jnp.zeros_like(noise[..., 0])], -1
+        ) * jnp.float32(0.05)
+        return _normalize(d)
+
+    def trace_pair(from_pos, sun_d, dif_d):
+        """Trace the sun-shadow and diffuse rays of one bounce as a single
+        doubled batch (one kernel dispatch instead of two)."""
+        o = jnp.concatenate([from_pos, from_pos], axis=0)
+        d = jnp.concatenate([sun_d, dif_d], axis=0)
+        r = trace(o, d)
+        n = from_pos.shape[0]
+        sun_r = {k: (v[:n] if jnp.ndim(v) else v) for k, v in r.items()}
+        dif_r = {k: (v[n:] if jnp.ndim(v) else v) for k, v in r.items()}
+        return sun_r, dif_r
+
     light_hit = jnp.zeros(origin.shape, jnp.float32)
     if bounces >= 1:
-        sun1 = trace_sun(primary["position"], noise1)
-        light_hit = jnp.where(sun1["air"][..., None], sunlight_vec[None, None], 0.0)
-
         d1 = jnp.stack(
             shading.diffuse_direction(
                 jnp, noise1[..., 0], noise1[..., 1], primary["normal"]
             ),
             -1,
         )
-        dif1 = trace(primary["position"], d1)
+        sun1, dif1 = trace_pair(primary["position"], sun_dir_from(noise1), d1)
+        light_hit = jnp.where(sun1["air"][..., None], sunlight_vec[None, None], 0.0)
         light_hit = light_hit + jnp.where(dif1["air"][..., None], sky(d1, True), 0.0)
 
     if bounces >= 2:
-        sun2 = trace_sun(dif1["position"], noise2)
-        light2 = jnp.where(sun2["air"][..., None], sunlight_vec[None, None], 0.0)
         d2 = jnp.stack(
             shading.diffuse_direction(
                 jnp, noise2[..., 0], noise2[..., 1], dif1["normal"]
             ),
             -1,
         )
-        dif2 = trace(dif1["position"], d2)
+        sun2, dif2 = trace_pair(dif1["position"], sun_dir_from(noise2), d2)
+        light2 = jnp.where(sun2["air"][..., None], sunlight_vec[None, None], 0.0)
         light2 = light2 + jnp.where(dif2["air"][..., None], sky(d2, True), 0.0)
         light2 = light2 * dif1["albedo"]
         light_hit = light_hit + jnp.where(dif1["air"][..., None], 0.0, light2)
