@@ -89,10 +89,14 @@ def diffuse_direction(xp, noise_r, noise_g, normal_id):
     """
     pi = 3.141592653589793
     theta1 = pi * 2.0 * noise_r
-    theta2 = xp.arccos(xp.clip(1.0 - 2.0 * noise_g, -1.0, 1.0))
-    dx = xp.sin(theta1) * xp.sin(theta2)
-    dy = xp.cos(theta1) * xp.sin(theta2)
-    dz = xp.cos(theta2)
+    # theta2 = arccos(1 - 2g); use cos(theta2) = 1-2g and
+    # sin(theta2) = sqrt(1 - cos^2) directly (arccos has no Mosaic lowering
+    # and sin(arccos(x)) >= 0 on [0, pi], so this is exact).
+    cos_t2 = xp.clip(1.0 - 2.0 * noise_g, -1.0, 1.0)
+    sin_t2 = xp.sqrt(xp.maximum(1.0 - cos_t2 * cos_t2, 0.0))
+    dx = xp.sin(theta1) * sin_t2
+    dy = xp.cos(theta1) * sin_t2
+    dz = cos_t2
     nx, ny, nz = face_normal_vector(xp, normal_id)
     dx = dx + nx
     dy = dy + ny

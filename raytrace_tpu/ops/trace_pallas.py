@@ -410,15 +410,18 @@ def trace_rays_hf(
     n_pad = -(-n // per_tile) * per_tile
     grid = n_pad // per_tile
 
-    def flat(x):
+    def flat(x, pad_value=0.0):
+        # Tail padding must form rays that terminate immediately: a zero
+        # direction turns the first move into NaN (0 * inf) and the NaN
+        # never passes the bounds test, spinning its tile for max_steps.
         f = x.reshape(n)
-        f = jnp.pad(f, (0, n_pad - n))
+        f = jnp.pad(f, (0, n_pad - n), constant_values=pad_value)
         return f.reshape(grid * tile_rows, LANES)
 
     o = origin.reshape(n, 3)
     d = direction.reshape(n, 3)
-    comps = [flat(o[:, 0]), flat(o[:, 1]), flat(o[:, 2]),
-             flat(d[:, 0]), flat(d[:, 1]), flat(d[:, 2])]
+    comps = [flat(o[:, 0]), flat(o[:, 1]), flat(o[:, 2], 1e9),
+             flat(d[:, 0]), flat(d[:, 1]), flat(d[:, 2], 1.0)]
 
     lri = jnp.asarray(lr, jnp.int32)
     scalars = jnp.stack(

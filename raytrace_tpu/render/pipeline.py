@@ -84,7 +84,13 @@ def render_frame(
     Returns the final (H, W, 3) float32 frame, plus the raw G-buffer dict if
     requested.
     """
-    if tracer == "hf":
+    if tracer == "fused":
+        from ..ops.lighting_pallas import render_gbuffers_fused
+
+        gb = render_gbuffers_fused(
+            world, blue_noise, uniforms, width, height, max_steps, seed
+        )
+    elif tracer == "hf":
         from ..ops.trace_pallas import render_gbuffers_hf
 
         gb = render_gbuffers_hf(
@@ -119,7 +125,7 @@ class Pipeline:
         generated worlds) or "volume" (general fused-volume DDA).
         preloaded_volume: optional fused u32 volume to skip initial
         generation (tests, resumed sessions)."""
-        assert tracer in ("hf", "volume")
+        assert tracer in ("hf", "fused", "volume")
         self.width = width
         self.height = height
         self.max_steps = max_steps
@@ -163,7 +169,7 @@ class Pipeline:
         u.sun_angle = sun_angle
         u.lr = self.streamer.get_render_offset()
 
-        if self.tracer == "hf":
+        if self.tracer in ("hf", "fused"):
             from ..ops.trace_pallas import build_hf_tables
 
             if self._hf_lr != u.lr:
