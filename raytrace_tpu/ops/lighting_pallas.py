@@ -40,7 +40,7 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
         fscal_ref,  # SMEM (8,) f32: sunx, suny, sunz, slr, slg, slb
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # camera rays
         n1r_ref, n1g_ref, n2r_ref, n2g_ref,  # per-pixel blue noise
-        hsub_ref, h3_ref, h4_ref, h5_ref,  # pyramid tables
+        hsub_ref, h3_ref,  # packed pyramid tables (see build_hf_tables)
         lr_ref, lg_ref, lb_ref,  # lighting out (pre /16)
         pnormal_ref, pair_ref, ppacked_ref, pdist_ref, pexh_ref,  # primary out
     ):
@@ -56,8 +56,6 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
 
         hsub = hsub_ref[:]
         h3 = h3_ref[:]
-        h4 = h4_ref[:]
-        h5 = h5_ref[:]
         n1r, n1g = n1r_ref[:], n1g_ref[:]
         n2r, n2g = n2r_ref[:], n2g_ref[:]
 
@@ -86,9 +84,10 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             rx = jnp.clip(xi - r0x, 0, ROOT_BLOCK_SIZE - 1)
             ry = jnp.clip(yi - r0y, 0, ROOT_BLOCK_SIZE - 1)
             i3 = (ry >> 3) * 32 + (rx >> 3)
-            h8 = _lut(h3, i3)
-            e32 = ((zi >> 5) << 5) >= _lut(h5, (ry >> 5) * 8 + (rx >> 5))
-            e16 = ((zi >> 4) << 4) >= _lut(h4, (ry >> 4) * 16 + (rx >> 4))
+            w = _lut(h3, i3)
+            h8 = w & 511
+            e32 = ((zi >> 5) << 5) >= ((w >> 18) & 511)
+            e16 = ((zi >> 4) << 4) >= ((w >> 9) & 511)
             e8 = ((zi >> 3) << 3) >= h8
             step = jnp.where(e32, 32, jnp.where(e16, 16, jnp.where(e8, 8, 0)))
             return xi, yi, zi, step, h8, i3, rx, ry
@@ -438,11 +437,11 @@ def render_gbuffers_fused(
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
         + [ray_spec] * 10
-        + [table_spec(tables[k]) for k in ("hsub", "h3", "h4", "h5")],
+        + [table_spec(tables[k]) for k in ("hsub", "h3")],
         out_specs=[ray_spec] * 8,
         out_shape=[outf, outf, outf, outi, outi, outi, outf, outi],
         interpret=interpret,
-    )(iscal, fscal, *comps, tables["hsub"], tables["h3"], tables["h4"], tables["h5"])
+    )(iscal, fscal, *comps, tables["hsub"], tables["h3"])
 
     def unflat(x):
         return x.reshape(n_pad)[:n].reshape(height, width)

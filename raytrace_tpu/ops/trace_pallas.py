@@ -55,10 +55,11 @@ LEVELS = (3, 4, 5)
 def build_hf_tables(lr, seed: int = 0):
     """Column-height pyramid for the loaded region centered at lr.
 
-    Returns dict with flattened i32 tables 'h3' (8,128), 'h4' (2,128),
-    'h5' (1,128 padded from 64) and the region origin 'r0' (2,) i32.
-    The +1 margin makes the tables conservative against any last-ulp
-    disagreement between this builder and the in-kernel height evaluation.
+    Returns dict with flattened i32 tables 'h3' (8,128; one packed word per
+    8-block carrying the 8/16/32-level hmax values), 'hsub' (8,128; per-
+    quadrant 4-block deltas) and the region origin 'r0' (2,) i32.  The +1
+    margin makes the tables conservative against any last-ulp disagreement
+    between this builder and the in-kernel height evaluation.
     """
     lr = jnp.asarray(lr, jnp.int32)
     r0 = lr[:2] - _HALF
@@ -71,9 +72,17 @@ def build_hf_tables(lr, seed: int = 0):
 
     h2 = pool(hs, 2)  # (64, 64) hmax over 4-blocks
     h3v = pool(hs, 3)  # (32, 32) hmax over 8-blocks
-    h3 = h3v.reshape(8, 128)
-    h4 = pool(hs, 4).reshape(2, 128)  # (16,16) -> 256
-    h5 = jnp.pad(pool(hs, 5).reshape(-1), (0, 64)).reshape(1, 128)  # 64 -> 128
+    h4v = pool(hs, 4)  # (16, 16) hmax over 16-blocks
+    h5v = pool(hs, 5)  # (8, 8) hmax over 32-blocks
+
+    # One packed word per 8-block carries the whole pyramid: bits 0-8 the
+    # 8-block hmax, 9-17 the containing 16-block's, 18-26 the containing
+    # 32-block's (heights < 512; see WORLDGEN_HEIGHT_MUL).  classify() then
+    # costs a single 1024-entry lookup (8 lane-shuffle rounds) instead of
+    # three lookups over separate per-level tables (11 rounds).
+    h16at8 = jnp.repeat(jnp.repeat(h4v, 2, 0), 2, 1)
+    h32at8 = jnp.repeat(jnp.repeat(h5v, 4, 0), 4, 1)
+    h3 = (h3v | (h16at8 << 9) | (h32at8 << 18)).astype(jnp.int32).reshape(8, 128)
 
     # Sub-block deltas: each 8-block packs its four 4-block hmax values as
     # (hmax8 - hmax4) clamped to u8, one per byte.  The kernel's fine phase
@@ -86,7 +95,7 @@ def build_hf_tables(lr, seed: int = 0):
          | (delta[..., 1, 0] << 16)
          | (delta[..., 1, 1] << 24))
     hsub = q.astype(jnp.int32).reshape(8, 128)
-    return {"hsub": hsub, "h3": h3, "h4": h4, "h5": h5, "r0": r0}
+    return {"hsub": hsub, "h3": h3, "r0": r0}
 
 
 # ---------------------------------------------------------------------------
@@ -137,8 +146,9 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
     def kernel(
         scalars_ref,  # SMEM (8,) int32: r0x, r0y, lrx, lry, lrz
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (S,128) f32
-        hsub_ref, h3_ref, h4_ref, h5_ref,  # pyramid tables
-        px_ref, py_ref, pz_ref, normal_ref, air_ref, packed_ref,  # outputs
+        n0_ref,  # (S,128) i32 initial normal (0 for fresh rays; resume state)
+        hsub_ref, h3_ref,  # pyramid tables (packed; see build_hf_tables)
+        px_ref, py_ref, pz_ref, normal_ref, air_ref, packed_ref, done_ref,
     ):
         r0x = scalars_ref[0]
         r0y = scalars_ref[1]
@@ -168,8 +178,6 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
 
         hsub = hsub_ref[:]
         h3 = h3_ref[:]
-        h4 = h4_ref[:]
-        h5 = h5_ref[:]
 
         eps = jnp.float32(1e-4)
 
@@ -192,10 +200,12 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             rx = jnp.clip(xi - r0x, 0, ROOT_BLOCK_SIZE - 1)
             ry = jnp.clip(yi - r0y, 0, ROOT_BLOCK_SIZE - 1)
             # Block empty iff its aligned z-bottom >= hmax over its columns.
+            # One packed lookup carries hmax for the 8/16/32 levels.
             i3 = (ry >> 3) * 32 + (rx >> 3)
-            h8 = _lut(h3, i3)
-            e32 = ((zi >> 5) << 5) >= _lut(h5, (ry >> 5) * 8 + (rx >> 5))
-            e16 = ((zi >> 4) << 4) >= _lut(h4, (ry >> 4) * 16 + (rx >> 4))
+            w = _lut(h3, i3)
+            h8 = w & 511
+            e32 = ((zi >> 5) << 5) >= ((w >> 18) & 511)
+            e16 = ((zi >> 4) << 4) >= ((w >> 9) & 511)
             e8 = ((zi >> 3) << 3) >= h8
             step = jnp.where(e32, 32, jnp.where(e16, 16, jnp.where(e8, 8, 0)))
             return xi, yi, zi, step, h8, i3, rx, ry
@@ -236,7 +246,7 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             px=ox_ref[:],
             py=oy_ref[:],
             pz=oz_ref[:],
-            normal=jnp.zeros((S, LANES), jnp.int32),
+            normal=n0_ref[:],
             air=jnp.zeros((S, LANES), jnp.int32),
             done=jnp.zeros((S, LANES), jnp.int32),
             hit_h=jnp.zeros((S, LANES), jnp.int32),  # height of hit column
@@ -347,6 +357,7 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
         pz_ref[:] = s["pz"]
         normal_ref[:] = s["normal"]
         air_ref[:] = s["air"]
+        done_ref[:] = s["done"]
 
         # Hit material: the worldgen band at the hit voxel (generate.py).
         hitm = (s["done"] == 1) & (s["air"] == 0)
@@ -378,8 +389,19 @@ def _packed_material(xi, yi, zi, seed):
 # ---------------------------------------------------------------------------
 
 
+# Iteration-cap cascade for straggler compaction.  Per-tile cost is the max
+# over the tile's 2048 rays, and a handful of terrain-grazing rays (p99 of
+# per-ray steps ~50, max ~350) hold every tile hostage: the measured mean
+# per-ray step count is ~17 but the mean tile max is ~120.  Each level runs
+# every not-yet-finished ray for up to cap iterations; survivors are then
+# sorted (stably, so spatial coherence survives) to the front and resumed at
+# the next level, where the all-done suffix tiles exit at zero iterations.
+# The final level always runs to max_steps.
+COMPACT_CAPS = (16, 48, 160)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("max_steps", "seed", "tile_rows", "interpret")
+    jax.jit, static_argnames=("max_steps", "seed", "tile_rows", "interpret", "caps")
 )
 def trace_rays_hf(
     tables: dict,
@@ -390,12 +412,16 @@ def trace_rays_hf(
     seed: int = 0,
     tile_rows: int = 16,
     interpret: bool | None = None,
+    caps: tuple = COMPACT_CAPS,
 ) -> dict[str, jax.Array]:
     """Heightfield-accelerated trace; drop-in for trace_jax.trace_rays.
 
     origin/direction: (..., 3) float32.  `tables` from build_hf_tables —
     must correspond to the same lr.  Returns the same dict as trace_rays.
     interpret=None auto-selects interpreter mode off-TPU (CPU tests).
+    caps: iteration caps of the compaction cascade (empty disables it; the
+    DDA is memoryless in (position, direction), so a resumed ray retraces
+    exactly).
     """
     from ..ops import shading
 
@@ -422,6 +448,7 @@ def trace_rays_hf(
     d = direction.reshape(n, 3)
     comps = [flat(o[:, 0]), flat(o[:, 1]), flat(o[:, 2], 1e9),
              flat(d[:, 0]), flat(d[:, 1]), flat(d[:, 2], 1.0)]
+    zero_i = jnp.zeros((grid * tile_rows, LANES), jnp.int32)
 
     lri = jnp.asarray(lr, jnp.int32)
     scalars = jnp.stack(
@@ -429,7 +456,6 @@ def trace_rays_hf(
          jnp.int32(0), jnp.int32(0), jnp.int32(0)]
     )
 
-    kernel = _make_kernel(tile_rows, max_steps, seed)
     ray_spec = pl.BlockSpec(
         (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -440,16 +466,94 @@ def trace_rays_hf(
     out_i32 = jax.ShapeDtypeStruct((grid * tile_rows, LANES), jnp.int32)
     out_u32 = jax.ShapeDtypeStruct((grid * tile_rows, LANES), jnp.uint32)
 
-    px, py, pz, normal, air, packed = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [ray_spec] * 6
-        + [table_spec(tables[k]) for k in ("hsub", "h3", "h4", "h5")],
-        out_specs=[ray_spec] * 6,
-        out_shape=[out_shape, out_shape, out_shape, out_i32, out_i32, out_u32],
-        interpret=interpret,
-    )(scalars, *comps, tables["hsub"], tables["h3"], tables["h4"], tables["h5"])
+    def run_pass(steps, ox, oy, oz, dxx, dyy, dzz, n0):
+        kernel = _make_kernel(tile_rows, steps, seed)
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [ray_spec] * 7
+            + [table_spec(tables[k]) for k in ("hsub", "h3")],
+            out_specs=[ray_spec] * 7,
+            out_shape=[out_shape, out_shape, out_shape, out_i32, out_i32,
+                       out_u32, out_i32],
+            interpret=interpret,
+        )(scalars, ox, oy, oz, dxx, dyy, dzz, n0,
+          tables["hsub"], tables["h3"])
+
+    levels = [c for c in caps if 0 < c < max_steps]
+    if not levels:
+        px, py, pz, normal, air, packed, _ = run_pass(max_steps, *comps, zero_i)
+    else:
+        iota = jax.lax.broadcasted_iota(jnp.int32, (grid * tile_rows, LANES), 0)
+        iota = iota * LANES + jax.lax.broadcasted_iota(
+            jnp.int32, (grid * tile_rows, LANES), 1
+        )
+
+        def rsort(key, ops):
+            out = jax.lax.sort(
+                (key.reshape(n_pad),) + tuple(x.reshape(n_pad) for x in ops),
+                num_keys=1,
+            )
+            return tuple(x.reshape(grid * tile_rows, LANES) for x in out[1:])
+
+        # Current-order state: ray resume data + accumulated results +
+        # the map back to original ray order (cidx).
+        cx, cy, cz = comps[0], comps[1], comps[2]
+        cdx, cdy, cdz = comps[3], comps[4], comps[5]
+        cnrm = zero_i
+        cair = zero_i
+        cpk = jnp.zeros((grid * tile_rows, LANES), jnp.uint32)
+        cdone = zero_i
+        cidx = iota
+
+        for li, cap in enumerate(levels + [max_steps]):
+            if li > 0:
+                # Stable partition: unfinished rays first, current order
+                # preserved within each group (spatially coherent stragglers
+                # stay together).  Single i32 key: done * n_pad + position
+                # (n_pad * 2 < 2^31 for any realistic frame).
+                key = cdone * jnp.int32(n_pad) + iota
+                (cx, cy, cz, cdx, cdy, cdz, cnrm, cidx, cair, cpk, cdone) = (
+                    rsort(key, (cx, cy, cz, cdx, cdy, cdz, cnrm, cidx,
+                                cair, cpk, cdone))
+                )
+            # Finished rays become insta-exit rays (far above the region):
+            # all-done suffix tiles run zero traversal iterations.
+            fin = cdone == 1
+            iz = jnp.where(fin, jnp.float32(1e9), cz)
+            idz = jnp.where(fin, jnp.float32(1.0), cdz)
+            px, py, pz, nrm, air, pk, dn = run_pass(
+                cap, cx, cy, iz, cdx, cdy, idz, cnrm
+            )
+            # Merge: already-finished rays keep their carried results; the
+            # rest take this pass's output (hit/air result, or resume state
+            # for rays that are still live at the next level).
+            cx = jnp.where(fin, cx, px)
+            cy = jnp.where(fin, cy, py)
+            cz = jnp.where(fin, cz, pz)
+            cnrm = jnp.where(fin, cnrm, nrm)
+            cair = jnp.where(fin, cair, air)
+            cpk = jnp.where(fin, cpk, pk)
+            cdone = jnp.where(fin, cdone, dn)
+
+        # One scatter back to original ray order.
+        flat_idx = cidx.reshape(n_pad)
+
+        def unsort(x):
+            return (
+                jnp.zeros_like(x.reshape(n_pad))
+                .at[flat_idx]
+                .set(x.reshape(n_pad))
+                .reshape(grid * tile_rows, LANES)
+            )
+
+        px = unsort(cx)
+        py = unsort(cy)
+        pz = unsort(cz)
+        normal = unsort(cnrm)
+        air = unsort(cair)
+        packed = unsort(cpk)
 
     def unflat(x, dtype=None):
         f = x.reshape(n_pad)[:n].reshape(shape)
@@ -485,7 +589,8 @@ def trace_rays_hf(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "max_steps", "seed", "rows", "interpret", "bounces"
+        "width", "height", "max_steps", "seed", "rows", "interpret", "bounces",
+        "caps",
     ),
 )
 def render_gbuffers_hf(
@@ -500,6 +605,7 @@ def render_gbuffers_hf(
     rows: int | None = None,
     interpret: bool | None = None,
     bounces: int = 2,
+    caps: tuple = COMPACT_CAPS,
 ) -> dict[str, jax.Array]:
     """G-buffers via the Pallas heightfield tracer (hot path).
 
@@ -513,7 +619,8 @@ def render_gbuffers_hf(
 
     def trace(o, d):
         return trace_rays_hf(
-            tables, o, d, lr_i, max_steps=max_steps, seed=seed, interpret=interpret
+            tables, o, d, lr_i, max_steps=max_steps, seed=seed,
+            interpret=interpret, caps=caps,
         )
 
     return integrate_gbuffers(

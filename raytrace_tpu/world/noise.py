@@ -32,13 +32,25 @@ DEFAULT_LACUNARITY = 2.0943951023931953  # pi * 2 / 3
 DEFAULT_PERSISTENCE = 0.5
 
 
-def _hash2(xi: jax.Array, yi: jax.Array, seed) -> jax.Array:
-    """Counter-based 2D lattice hash -> int32 (full avalanche-ish mix)."""
-    h = xi * jnp.int32(374761393) + yi * jnp.int32(668265263)
-    h = h + jnp.int32(seed) * jnp.int32(1440662683)
+_HA = 374761393
+_HB = 668265263
+
+
+def _mix(h: jax.Array) -> jax.Array:
+    """Avalanche mix of a lattice-linear pre-hash (see _hash2)."""
     h = (h ^ (h >> 13)) * jnp.int32(1274126177)
-    h = h ^ (h >> 16)
-    return h
+    return h ^ (h >> 16)
+
+
+def _hash2(xi: jax.Array, yi: jax.Array, seed) -> jax.Array:
+    """Counter-based 2D lattice hash -> int32 (full avalanche-ish mix).
+
+    The pre-mix value is linear in (xi, yi), so the four corners of a Perlin
+    cell share one multiply pair: h(x+1, y) = h(x, y) + _HA etc. (used by
+    perlin2/perlin2_grad)."""
+    h = xi * jnp.int32(_HA) + yi * jnp.int32(_HB)
+    h = h + jnp.int32(seed) * jnp.int32(1440662683)
+    return _mix(h)
 
 
 def hash3_u32(xi, yi, zi, seed) -> jax.Array:
@@ -92,10 +104,14 @@ def perlin2(x: jax.Array, y: jax.Array, seed=0) -> jax.Array:
     u = xf * xf * xf * (xf * (xf * 6.0 - 15.0) + 10.0)
     v = yf * yf * yf * (yf * (yf * 6.0 - 15.0) + 10.0)
 
-    n00 = _grad_dot(_hash2(xi, yi, seed), xf, yf)
-    n10 = _grad_dot(_hash2(xi + 1, yi, seed), xf - 1.0, yf)
-    n01 = _grad_dot(_hash2(xi, yi + 1, seed), xf, yf - 1.0)
-    n11 = _grad_dot(_hash2(xi + 1, yi + 1, seed), xf - 1.0, yf - 1.0)
+    # One multiply pair for all four corners (pre-mix hash is lattice-linear).
+    hb = xi * jnp.int32(_HA) + yi * jnp.int32(_HB) + jnp.int32(seed) * jnp.int32(
+        1440662683
+    )
+    n00 = _grad_dot(_mix(hb), xf, yf)
+    n10 = _grad_dot(_mix(hb + jnp.int32(_HA)), xf - 1.0, yf)
+    n01 = _grad_dot(_mix(hb + jnp.int32(_HB)), xf, yf - 1.0)
+    n11 = _grad_dot(_mix(hb + jnp.int32(_HA + _HB)), xf - 1.0, yf - 1.0)
 
     nx0 = n00 + u * (n10 - n00)
     nx1 = n01 + u * (n11 - n01)
@@ -212,9 +228,12 @@ def perlin2_grad(x: jax.Array, y: jax.Array, seed=0):
     du = 30.0 * xf * xf * (xf * (xf - 2.0) + 1.0)
     dv = 30.0 * yf * yf * (yf * (yf - 2.0) + 1.0)
 
+    hb = xi * jnp.int32(_HA) + yi * jnp.int32(_HB) + jnp.int32(seed) * jnp.int32(
+        1440662683
+    )
     corners = []
     for ox, oy in ((0, 0), (1, 0), (0, 1), (1, 1)):
-        h = _hash2(xi + ox, yi + oy, seed)
+        h = _mix(hb + jnp.int32(ox * _HA + oy * _HB))
         gx, gy = _grad_vec(h)
         dx_ = xf - ox
         dy_ = yf - oy
