@@ -207,7 +207,9 @@ def render_gbuffers(
 ) -> dict[str, jax.Array]:
     """G-buffers via the general volume tracer (see integrate_gbuffers)."""
 
-    def trace(o, d):
+    def trace(o, d, active=None):
+        # The volume tracer has no compaction; masked rays cost nothing
+        # extra there (lanes are fully data-parallel), so `active` is moot.
         return trace_rays(fused_flat, o, d, uniforms["lr"], max_steps)
 
     return integrate_gbuffers(
@@ -286,12 +288,15 @@ def integrate_gbuffers(
         ) * jnp.float32(0.05)
         return _normalize(d)
 
-    def trace_pair(from_pos, sun_d, dif_d):
+    def trace_pair(from_pos, sun_d, dif_d, active):
         """Trace the sun-shadow and diffuse rays of one bounce as a single
-        doubled batch (one kernel dispatch instead of two)."""
+        doubled batch (one kernel dispatch instead of two).  `active` marks
+        the pixels whose bounce legs exist at all — the reference skips
+        these rays entirely for sky pixels (raytrace.comp:320-341), and the
+        compacting tracer turns skipped rays into zero work."""
         o = jnp.concatenate([from_pos, from_pos], axis=0)
         d = jnp.concatenate([sun_d, dif_d], axis=0)
-        r = trace(o, d)
+        r = trace(o, d, jnp.concatenate([active, active], axis=0))
         n = from_pos.shape[0]
         sun_r = {k: (v[:n] if jnp.ndim(v) else v) for k, v in r.items()}
         dif_r = {k: (v[n:] if jnp.ndim(v) else v) for k, v in r.items()}
@@ -305,7 +310,9 @@ def integrate_gbuffers(
             ),
             -1,
         )
-        sun1, dif1 = trace_pair(primary["position"], sun_dir_from(noise1), d1)
+        sun1, dif1 = trace_pair(
+            primary["position"], sun_dir_from(noise1), d1, hit_mask
+        )
         light_hit = jnp.where(sun1["air"][..., None], sunlight_vec[None, None], 0.0)
         light_hit = light_hit + jnp.where(dif1["air"][..., None], sky(d1, True), 0.0)
 
@@ -316,7 +323,10 @@ def integrate_gbuffers(
             ),
             -1,
         )
-        sun2, dif2 = trace_pair(dif1["position"], sun_dir_from(noise2), d2)
+        sun2, dif2 = trace_pair(
+            dif1["position"], sun_dir_from(noise2), d2,
+            hit_mask & ~dif1["air"],
+        )
         light2 = jnp.where(sun2["air"][..., None], sunlight_vec[None, None], 0.0)
         light2 = light2 + jnp.where(dif2["air"][..., None], sky(d2, True), 0.0)
         light2 = light2 * dif1["albedo"]

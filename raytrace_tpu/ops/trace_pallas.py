@@ -413,6 +413,7 @@ def trace_rays_hf(
     tile_rows: int = 16,
     interpret: bool | None = None,
     caps: tuple = COMPACT_CAPS,
+    active: jax.Array | None = None,
 ) -> dict[str, jax.Array]:
     """Heightfield-accelerated trace; drop-in for trace_jax.trace_rays.
 
@@ -422,6 +423,11 @@ def trace_rays_hf(
     caps: iteration caps of the compaction cascade (empty disables it; the
     DDA is memoryless in (position, direction), so a resumed ray retraces
     exactly).
+    active: optional (...,) bool — rays with active=False are never traced
+    (their outputs are arbitrary 'done' values the caller must mask, as the
+    reference skips bounce legs for sky pixels, raytrace.comp:320-341).
+    They are partitioned to the back before the first pass, so whole
+    inactive tiles cost zero traversal iterations.
     """
     from ..ops import shading
 
@@ -482,7 +488,7 @@ def trace_rays_hf(
           tables["hsub"], tables["h3"])
 
     levels = [c for c in caps if 0 < c < max_steps]
-    if not levels:
+    if not levels and active is None:
         px, py, pz, normal, air, packed, _ = run_pass(max_steps, *comps, zero_i)
     else:
         iota = jax.lax.broadcasted_iota(jnp.int32, (grid * tile_rows, LANES), 0)
@@ -506,9 +512,15 @@ def trace_rays_hf(
         cpk = jnp.zeros((grid * tile_rows, LANES), jnp.uint32)
         cdone = zero_i
         cidx = iota
+        if active is not None:
+            # Born-done rays (the caller will mask their outputs).  The
+            # level-0 sort below packs them into all-done suffix tiles.
+            cdone = flat(
+                jnp.logical_not(active).reshape(n).astype(jnp.float32), 1.0
+            ).astype(jnp.int32)
 
         for li, cap in enumerate(levels + [max_steps]):
-            if li > 0:
+            if li > 0 or active is not None:
                 # Stable partition: unfinished rays first, current order
                 # preserved within each group (spatially coherent stragglers
                 # stay together).  Single i32 key: done * n_pad + position
@@ -617,10 +629,10 @@ def render_gbuffers_hf(
 
     lr_i = uniforms["lr"].astype(jnp.int32)
 
-    def trace(o, d):
+    def trace(o, d, active=None):
         return trace_rays_hf(
             tables, o, d, lr_i, max_steps=max_steps, seed=seed,
-            interpret=interpret, caps=caps,
+            interpret=interpret, caps=caps, active=active,
         )
 
     return integrate_gbuffers(
