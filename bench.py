@@ -63,10 +63,15 @@ def main():
     @jax.jit
     def animation(uniforms, sun0):
         # fori_loop so the program contains ONE frame's graph regardless of
-        # FRAMES (a python loop would multiply XLA compile time).
+        # FRAMES (a python loop would multiply XLA compile time).  The
+        # camera moves per frame: with a static origin XLA hoists the
+        # loop-invariant primary trace out of the loop and the benchmark
+        # silently measures 4 rays/pixel instead of 5.
         def body(i, acc):
             u = dict(
                 uniforms,
+                origin=uniforms["origin"]
+                + jnp.float32(0.03) * i * jnp.asarray([1.0, 1.0, 0.0]),
                 sun_angle=sun0 + jnp.float32(0.01) * i,
                 seed=uniforms["seed"] + i,
             )

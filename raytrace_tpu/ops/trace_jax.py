@@ -263,14 +263,23 @@ def integrate_gbuffers(
         base2 = jnp.roll(blue_noise, (-off_y - 2, -off_x - 2), (0, 1))
         noise2 = jnp.tile(base2, (reps_y, reps_x, 1))[:height, :width]
     else:
-        px = jnp.arange(width, dtype=jnp.int32)[None, :]
-        py = (jnp.asarray(row0, jnp.int32) + jnp.arange(n_rows, dtype=jnp.int32))[
-            :, None
-        ]
-        n1y = (jnp.remainder(py + off_y, nh)).astype(jnp.int32)
-        n1x = (px + off_x) % nw
-        noise1 = blue_noise[n1y, n1x]
-        noise2 = blue_noise[(n1y + 2) % nh, (n1x + 2) % nw]
+        # Row-band path (multi-chip tiles, partial renders): same roll+tile
+        # construction with a dynamic row slice — row0 may be a traced value
+        # (lax.axis_index), and per-element modular gathers are ~85 M/s on
+        # TPU while this is pure tiling.
+        reps_y = -(-n_rows // nh) + 1
+        reps_x = -(-width // nw)
+        r0m = jnp.remainder(jnp.asarray(row0, jnp.int32), nh)
+
+        def band_noise(dy, dx):
+            base = jnp.roll(blue_noise, (-off_y - dy, -off_x - dx), (0, 1))
+            strip = jnp.tile(base, (reps_y, reps_x, 1))
+            return jax.lax.dynamic_slice(
+                strip, (r0m, 0, 0), (n_rows, strip.shape[1], strip.shape[2])
+            )[:, :width]
+
+        noise1 = band_noise(0, 0)
+        noise2 = band_noise(2, 2)
 
     def sky(d, include_sun):
         r, g, b = shading.sample_sky(

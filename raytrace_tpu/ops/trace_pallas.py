@@ -504,68 +504,60 @@ def trace_rays_hf(
             return tuple(x.reshape(grid * tile_rows, LANES) for x in out[1:])
 
         # Current-order state: ray resume data + accumulated results +
-        # the map back to original ray order (cidx).
+        # the map back to original ray order (cidx).  normal (3b), air (1b),
+        # done (1b) and the hit material (21b, see materials.py packing)
+        # travel in ONE i32 'meta' word so every re-partition sorts 8
+        # payload operands instead of 11.
         cx, cy, cz = comps[0], comps[1], comps[2]
         cdx, cdy, cdz = comps[3], comps[4], comps[5]
-        cnrm = zero_i
-        cair = zero_i
-        cpk = jnp.zeros((grid * tile_rows, LANES), jnp.uint32)
-        cdone = zero_i
+        cmeta = zero_i
         cidx = iota
         if active is not None:
             # Born-done rays (the caller will mask their outputs).  The
             # level-0 sort below packs them into all-done suffix tiles.
-            cdone = flat(
+            cmeta = flat(
                 jnp.logical_not(active).reshape(n).astype(jnp.float32), 1.0
             ).astype(jnp.int32)
 
         for li, cap in enumerate(levels + [max_steps]):
+            cdone = cmeta & 1
             if li > 0 or active is not None:
                 # Stable partition: unfinished rays first, current order
                 # preserved within each group (spatially coherent stragglers
                 # stay together).  Single i32 key: done * n_pad + position
                 # (n_pad * 2 < 2^31 for any realistic frame).
                 key = cdone * jnp.int32(n_pad) + iota
-                (cx, cy, cz, cdx, cdy, cdz, cnrm, cidx, cair, cpk, cdone) = (
-                    rsort(key, (cx, cy, cz, cdx, cdy, cdz, cnrm, cidx,
-                                cair, cpk, cdone))
+                cx, cy, cz, cdx, cdy, cdz, cmeta, cidx = rsort(
+                    key, (cx, cy, cz, cdx, cdy, cdz, cmeta, cidx)
                 )
+                cdone = cmeta & 1
             # Finished rays become insta-exit rays (far above the region):
             # all-done suffix tiles run zero traversal iterations.
             fin = cdone == 1
             iz = jnp.where(fin, jnp.float32(1e9), cz)
             idz = jnp.where(fin, jnp.float32(1.0), cdz)
             px, py, pz, nrm, air, pk, dn = run_pass(
-                cap, cx, cy, iz, cdx, cdy, idz, cnrm
+                cap, cx, cy, iz, cdx, cdy, idz, (cmeta >> 2) & 7
             )
             # Merge: already-finished rays keep their carried results; the
             # rest take this pass's output (hit/air result, or resume state
             # for rays that are still live at the next level).
+            meta_new = (
+                pk.astype(jnp.int32) << 5 | (nrm & 7) << 2 | air << 1 | dn
+            )
             cx = jnp.where(fin, cx, px)
             cy = jnp.where(fin, cy, py)
             cz = jnp.where(fin, cz, pz)
-            cnrm = jnp.where(fin, cnrm, nrm)
-            cair = jnp.where(fin, cair, air)
-            cpk = jnp.where(fin, cpk, pk)
-            cdone = jnp.where(fin, cdone, dn)
+            cmeta = jnp.where(fin, cmeta, meta_new)
 
-        # One scatter back to original ray order.
-        flat_idx = cidx.reshape(n_pad)
-
-        def unsort(x):
-            return (
-                jnp.zeros_like(x.reshape(n_pad))
-                .at[flat_idx]
-                .set(x.reshape(n_pad))
-                .reshape(grid * tile_rows, LANES)
-            )
-
-        px = unsort(cx)
-        py = unsort(cy)
-        pz = unsort(cz)
-        normal = unsort(cnrm)
-        air = unsort(cair)
-        packed = unsort(cpk)
+        # Back to original ray order: one more sort, keyed by the original
+        # index (a 1M-element multi-operand sort is ~1 ms on TPU, where the
+        # equivalent 6x scatter is tens of ms).
+        cx, cy, cz, cmeta = rsort(cidx, (cx, cy, cz, cmeta))
+        px, py, pz = cx, cy, cz
+        normal = (cmeta >> 2) & 7
+        air = (cmeta >> 1) & 1
+        packed = (cmeta >> 5).astype(jnp.uint32)
 
     def unflat(x, dtype=None):
         f = x.reshape(n_pad)[:n].reshape(shape)

@@ -99,18 +99,23 @@ def _denoise_pass_banded(lighting, depth, normal, size: int, axis_name: str):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "max_steps", "mesh")
+    jax.jit, static_argnames=("width", "height", "max_steps", "mesh", "tracer")
 )
 def render_frame_tiled(
-    volume: jax.Array,
+    world,
     blue_noise: jax.Array,
     uniforms: dict,
     width: int,
     height: int,
     mesh: Mesh,
     max_steps: int = MAX_TRACE_STEPS,
+    tracer: str = "volume",
 ) -> jax.Array:
-    """Full frame over a 1-D device mesh; returns (H, W, 3) float32."""
+    """Full frame over a 1-D device mesh; returns (H, W, 3) float32.
+
+    `world` is the fused u32 volume for tracer="volume" or the
+    build_hf_tables dict for tracer="hf" (the Pallas hot path; tables are
+    replicated — they are ~10 KB)."""
     n = mesh.shape[AXIS]
     assert height % n == 0, (height, n)
     band = height // n
@@ -123,9 +128,17 @@ def render_frame_tiled(
     def shard_fn(vol, bn, uni):
         i = jax.lax.axis_index(AXIS)
         row0 = i * band
-        gb = render_gbuffers(
-            vol, bn, uni, width, height, max_steps, row0=row0, rows=band
-        )
+        if tracer == "hf":
+            from ..ops.trace_pallas import render_gbuffers_hf
+
+            gb = render_gbuffers_hf(
+                vol, bn, uni, width, height, max_steps,
+                row0=row0, rows=band,
+            )
+        else:
+            gb = render_gbuffers(
+                vol, bn, uni, width, height, max_steps, row0=row0, rows=band
+            )
         lighting = gb["lighting"]
         if halo_ok:
             for size in DENOISE_SIZES:
@@ -154,5 +167,5 @@ def render_frame_tiled(
         out_specs=P(AXIS),
         check_vma=False,
     )
-    frame = fn(volume, blue_noise, uniforms)
+    frame = fn(world, blue_noise, uniforms)
     return frame[::-1]

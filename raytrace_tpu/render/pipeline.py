@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -120,12 +121,22 @@ class Pipeline:
         storage=None,
         tracer: str = "hf",
         preloaded_volume=None,
+        validate: bool | None = None,
     ):
         """tracer: "hf" (Pallas heightfield kernel, the fast path for
-        generated worlds) or "volume" (general fused-volume DDA).
+        generated worlds), "fused" (single-launch whole-path kernel) or
+        "volume" (general fused-volume DDA).
         preloaded_volume: optional fused u32 volume to skip initial
-        generation (tests, resumed sessions)."""
+        generation (tests, resumed sessions).
+        validate: per-frame finite checks + step-limiter pixel counts, the
+        analog of the reference's debug-build-only Vulkan validation layers
+        (constants.rs:11, debug.rs) and REPORT_ERROR pink pixels
+        (raytrace.comp:5-7).  Forces a sync per frame — debug builds only.
+        Defaults to the RAYTRACE_TPU_VALIDATE env var."""
         assert tracer in ("hf", "fused", "volume")
+        if validate is None:
+            validate = bool(int(os.environ.get("RAYTRACE_TPU_VALIDATE", "0")))
+        self.validate = validate
         self.width = width
         self.height = height
         self.max_steps = max_steps
@@ -181,16 +192,30 @@ class Pipeline:
         else:
             world = self.streamer.volume
 
-        frame = render_frame(
-            world,
-            self.blue_noise,
-            u.as_device_dict(),
-            self.width,
-            self.height,
-            self.max_steps,
-            tracer=self.tracer,
-            seed=self.seed,
-        )
+        if self.validate:
+            frame, gb = render_frame(
+                world,
+                self.blue_noise,
+                u.as_device_dict(),
+                self.width,
+                self.height,
+                self.max_steps,
+                with_gbuffers=True,
+                tracer=self.tracer,
+                seed=self.seed,
+            )
+            self._validate_frame(frame, gb)
+        else:
+            frame = render_frame(
+                world,
+                self.blue_noise,
+                u.as_device_dict(),
+                self.width,
+                self.height,
+                self.max_steps,
+                tracer=self.tracer,
+                seed=self.seed,
+            )
 
         # Post-submit reprojection bookkeeping (pipeline.rs:214-227).
         u.old_origin = u.origin
@@ -198,6 +223,30 @@ class Pipeline:
             tuple(zip(*(right, up, forward)))  # columns right,up,forward
         )
         return frame
+
+    def _validate_frame(self, frame, gb) -> None:
+        """Debug-mode frame checks (the validation-layer analog).
+
+        Reference behavior being mirrored: Vulkan validation messengers run
+        only in debug builds and print colored severity-tagged diagnostics
+        (debug.rs:52-110); the in-kernel step limiter highlights exhausted
+        rays pink (raytrace.comp:5-7,387-400).  Here: non-finite pixels and
+        limiter-hit counts are reported to stdout; synchronous by design.
+        """
+        f = np.asarray(frame)
+        bad = int((~np.isfinite(f)).sum())
+        if bad:
+            print(f"[validate] {bad} non-finite frame values")
+        depth = np.asarray(gb["depth"])
+        exhausted = int((depth == 256 * 254).sum())
+        if exhausted:
+            print(
+                f"[validate] {exhausted} rays hit the {self.max_steps}-step "
+                "limiter (pink error pixels)"
+            )
+        light = np.asarray(gb["lighting"])
+        if not np.isfinite(light).all():
+            print("[validate] non-finite lighting buffer values")
 
 
 def _invert3(m):

@@ -69,3 +69,30 @@ def test_graft_entry_dryrun():
     assert np.isfinite(out).all()
 
     ge.dryrun_multichip(8)
+
+
+def test_tiled_frame_hf_tracer_matches_single_device():
+    """The Pallas heightfield path under shard_map (band split) must equal
+    the same tracer run single-device: the compaction cascade and the
+    banded blue-noise slice are shard-local and exact."""
+    from raytrace_tpu.ops.denoise import denoise_chain
+    from raytrace_tpu.ops.trace_pallas import build_hf_tables, render_gbuffers_hf
+
+    bn = jnp.asarray(get_blue_noise_f32())
+    uni = _uniforms()
+    W, H = 64, 64
+    steps = 512
+    tables = build_hf_tables(jnp.zeros(3, jnp.int32), seed=0)
+
+    gb = render_gbuffers_hf(tables, bn, uni, W, H, steps)
+    denoised = denoise_chain(gb["lighting"], gb["depth"], gb["normal"])
+    want = np.asarray(
+        finalize_frame(gb["albedo"], gb["emission"], gb["fog"], denoised, gb["depth"], bn)
+    )
+
+    mesh = make_tile_mesh(jax.devices()[:8])
+    got = np.asarray(
+        render_frame_tiled(tables, bn, uni, W, H, mesh, steps, tracer="hf")
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5)

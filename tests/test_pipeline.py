@@ -49,3 +49,18 @@ def test_seed_advances_and_wraps(pipeline):
     pipeline.uniforms.seed = 512 * 512 * 4 - 1
     pipeline.draw_frame(game.camera, 0.0)
     assert pipeline.uniforms.seed == 0
+
+
+def test_validate_mode_runs(capsys):
+    """Pipeline(validate=True) performs per-frame finite/limiter checks
+    (the reference's debug-build validation layers, debug.rs:52-110)."""
+    from raytrace_tpu.render.camera import Camera
+    from raytrace_tpu.render.pipeline import Pipeline
+
+    p = Pipeline(width=32, height=32, max_steps=64, tracer="hf", validate=True)
+    cam = Camera(origin=[-30.0, -100.0, 60.0])
+    cam.pitch = -0.3
+    frame = p.draw_frame(cam, 0.6)
+    import numpy as np
+
+    assert np.isfinite(np.asarray(frame)).all()
