@@ -54,8 +54,45 @@ _MAX_REACH = 3
 
 
 def _pad_edge(img: jax.Array, pad: int) -> jax.Array:
-    cfg = [(pad, pad), (pad, pad)] + [(0, 0)] * (img.ndim - 2)
+    """Edge-pad the trailing two (H, W) dims of a (..., H, W) array."""
+    cfg = [(0, 0)] * (img.ndim - 2) + [(pad, pad), (pad, pad)]
     return jnp.pad(img, cfg, mode="edge")
+
+
+def _denoise_planar(lighting_chw, depth, normal, size):
+    """One à-trous pass on channel-planar (3, H, W) lighting.
+
+    Channel-planar is the TPU-native image layout: every elementwise op
+    tiles (H, W) onto full 8x128 vregs, where an (H, W, 3) layout would put
+    the 3-wide channel axis on the 128-lane dimension (~2% lane
+    utilization).  Weights follow bilateral_denoise.comp:23-33: gaussian tap
+    weight divided by (4*|depth_c - depth_s|/256 + 10*(normal mismatch) + 1).
+    """
+    h, w = lighting_chw.shape[1:]
+    pad = _MAX_REACH * size
+    lp = _pad_edge(lighting_chw, pad)
+    dp = _pad_edge(depth.astype(jnp.float32) / 256.0, pad)
+    np_ = _pad_edge(normal, pad)
+
+    center_d = dp[pad : pad + h, pad : pad + w]
+    center_n = np_[pad : pad + h, pad : pad + w]
+
+    total_w = jnp.full((h, w), _CENTER_WEIGHT, jnp.float32)
+    acc = lighting_chw * _CENTER_WEIGHT
+    for dx, dy, base_w in _TAPS:
+        oy, ox = pad + dy * size, pad + dx * size
+        tap_l = lp[:, oy : oy + h, ox : ox + w]
+        tap_d = dp[oy : oy + h, ox : ox + w]
+        tap_n = np_[oy : oy + h, ox : ox + w]
+        depth_diff = 4.0 * jnp.abs(center_d - tap_d)
+        normal_diff = jnp.where(tap_n == center_n, 0.0, 10.0)
+        wgt = base_w / (depth_diff + normal_diff + 1.0)
+        total_w = total_w + wgt
+        acc = acc + tap_l * wgt[None]
+
+    blurred = acc / total_w[None]
+    sky = (center_n >= NORMAL_SKY)[None]
+    return jnp.where(sky, lighting_chw, blurred)
 
 
 def bilateral_denoise(
@@ -64,44 +101,23 @@ def bilateral_denoise(
     """One à-trous pass with dilation `size`.
 
     lighting (H, W, 3) f32; depth (H, W) u16 view distance*32; normal (H, W)
-    u8 face id (>= 16 means sky: passthrough).  Weights follow
-    bilateral_denoise.comp:23-33: gaussian tap weight divided by
-    (4*|depth_c - depth_s|/256 + 10*(normal mismatch) + 1).
+    u8 face id (>= 16 means sky: passthrough).
     """
-    h, w = lighting.shape[:2]
-    pad = _MAX_REACH * size
-    lp = _pad_edge(lighting, pad)
-    dp = _pad_edge(depth.astype(jnp.float32) / 256.0, pad)
-    np_ = _pad_edge(normal, pad)
-
-    center_d = dp[pad : pad + h, pad : pad + w]
-    center_n = np_[pad : pad + h, pad : pad + w]
-
-    total_w = jnp.full((h, w), _CENTER_WEIGHT, jnp.float32)
-    acc = lighting * _CENTER_WEIGHT
-    for dx, dy, base_w in _TAPS:
-        oy, ox = pad + dy * size, pad + dx * size
-        tap_l = lp[oy : oy + h, ox : ox + w]
-        tap_d = dp[oy : oy + h, ox : ox + w]
-        tap_n = np_[oy : oy + h, ox : ox + w]
-        depth_diff = 4.0 * jnp.abs(center_d - tap_d)
-        normal_diff = jnp.where(tap_n == center_n, 0.0, 10.0)
-        wgt = base_w / (depth_diff + normal_diff + 1.0)
-        total_w = total_w + wgt
-        acc = acc + tap_l * wgt[..., None]
-
-    blurred = acc / total_w[..., None]
-    sky = (center_n >= NORMAL_SKY)[..., None]
-    return jnp.where(sky, lighting, blurred)
+    out = _denoise_planar(lighting.transpose(2, 0, 1), depth, normal, size)
+    return out.transpose(1, 2, 0)
 
 
 @jax.jit
 def denoise_chain(lighting: jax.Array, depth: jax.Array, normal: jax.Array) -> jax.Array:
-    """The full 6-pass schedule (pipeline.rs:103-115)."""
-    out = lighting
+    """The full 6-pass schedule (pipeline.rs:103-115).
+
+    Transposes to channel-planar once, runs all six passes planar, and
+    transposes back (two cheap relayouts instead of six lane-starved passes).
+    """
+    out = lighting.transpose(2, 0, 1)
     for size in DENOISE_SIZES:
-        out = bilateral_denoise(out, depth, normal, size)
-    return out
+        out = _denoise_planar(out, depth, normal, size)
+    return out.transpose(1, 2, 0)
 
 
 def bilateral_denoise_np(lighting, depth, normal, size):

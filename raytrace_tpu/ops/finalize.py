@@ -39,13 +39,20 @@ def finalize_frame(
     lets the multi-chip tile split flip once after band assembly.
     """
     h, w = albedo.shape[:2]
-    light = lighting * jnp.float32(LIGHTING_SCALE)
-    final = albedo * light + emission * 4.0
+    # Channel-planar internally (see ops/denoise.py): (H, W) planes keep the
+    # VPU lanes full; a trailing 3-channel axis would waste 126/128 lanes.
+    albedo_p = albedo.transpose(2, 0, 1)
+    emission_p = emission.transpose(2, 0, 1)
+    fog_p = fog.transpose(2, 0, 1)
+    light_p = lighting.transpose(2, 0, 1) * jnp.float32(LIGHTING_SCALE)
+    final = albedo_p * light_p + emission_p * 4.0
 
     depth_f = depth.astype(jnp.float32)
-    fog_amount = jnp.minimum(depth_f / FOG_SCALE, 1.0)[..., None]
-    is_terrain = (depth < jnp.uint16(0xFFFF))[..., None]
-    final = jnp.where(is_terrain, final + (fog * 2.0 - final) * fog_amount, final)
+    fog_amount = jnp.minimum(depth_f / FOG_SCALE, 1.0)[None]
+    is_terrain = (depth < jnp.uint16(0xFFFF))[None]
+    final = jnp.where(
+        is_terrain, final + (fog_p * 2.0 - final) * fog_amount, final
+    )
 
     final = filmic_curve(jnp, final)
 
@@ -53,17 +60,18 @@ def finalize_frame(
     if isinstance(row0, int) and row0 == 0:
         # Full-frame fast path: modular dither = tile, not gather.
         dither = jnp.tile(
-            blue_noise[:, :, :3], (-(-h // ny), -(-w // nx), 1)
-        )[:h, :w]
+            blue_noise[:, :, :3].transpose(2, 0, 1), (1, -(-h // ny), -(-w // nx))
+        )[:, :h, :w]
     else:
         py = jnp.remainder(
             jnp.asarray(row0, jnp.int32) + jnp.arange(h, dtype=jnp.int32), ny
         )[:, None]
         px = jnp.arange(w, dtype=jnp.int32)[None, :] % nx
-        dither = blue_noise[py, px, :3]
+        dither = blue_noise[py, px, :3].transpose(2, 0, 1)
     final = final + dither / 128.0
 
     # Window coordinates are upside-down relative to world space.
+    final = final.transpose(1, 2, 0)
     return final[::-1] if flip else final
 
 

@@ -1,18 +1,42 @@
 """Fused Pallas lighting kernel: the whole 5-ray path per pixel, one launch.
 
 The staged pipeline (ops/trace_pallas.py driven by trace_jax.integrate_gbuffers)
-launches one kernel per bounce leg and synchronizes all rays between legs, so
-each leg's cost is the max over ALL pixels, and every intermediate ray state
-round-trips HBM.  Here each lane walks its own light path — primary, sun
-shadow, first diffuse bounce, second sun, second diffuse
-(raytrace.comp:317-350) — transitioning legs the moment its current ray
-completes.  Tile cost becomes max over lanes of the *total* path length
-instead of the sum of per-leg maxima, intermediate state never leaves VMEM,
-and four dispatches disappear.
+launches one kernel per bounce leg and synchronizes all rays between legs:
+every leg pays its own straggler tail, every intermediate ray state
+round-trips HBM, and the compaction cascade's sorts run once per leg.  Here
+each lane walks its own light path — primary, sun shadow, first diffuse
+bounce, second sun, second diffuse (raytrace.comp:317-350) — transitioning
+legs the moment its current ray completes, so the whole frame is ONE kernel
+(plus the cascade's re-runs) and ONE compaction pipeline over 1x the pixel
+count instead of 5x the ray count.
 
-Traversal reuses the column-height-pyramid + analytic-column design of
-trace_pallas.py (same tables, same hit semantics); the sky/sun shading
-(ops/shading.py formulas) is evaluated in-kernel at leg transitions.
+Design notes (all load-bearing for speed):
+  * Traversal reuses the column-height-pyramid + lattice-height design of
+    trace_pallas.py (same tables, same hit semantics).
+  * Leg transitions run in the OUTER phase loop, not per traversal
+    iteration: inner loops only march rays and park them on completion, so
+    their bodies stay ~100-300 VPU ops.  Completion is detected
+    STATELESSLY from (position, leg) — out-of-bounds means the ray reached
+    sky, a position inside a solid column means it hit when it entered —
+    which is also what makes the kernel resumable: a cascade level can cut
+    the kernel off mid-path and the next level re-derives everything from
+    the carried registers.
+  * No shading happens in-kernel.  The path's light is a handful of BITS
+    (which legs reached sky + which material each hit was), packed into one
+    i32 meta word; a final planar XLA pass reconstructs radiance exactly
+    (sky/sun colors are pure functions of per-pixel noise and uniforms).
+    This keeps the cascade's sort payload at 13 operands and the
+    per-iteration transition cost at zero.
+
+Meta word layout (i32):
+  bits 0-2   leg (0 primary, 1 sun1, 2 dif1, 3 sun2, 4 dif2, 5 done)
+  bits 3-5   current ray's entry-face normal id
+  bits 6-8   primary hit normal id
+  bits 9-11  dif1 hit normal id (basis for the dif2 direction)
+  bit  12    primary reached sky
+  bits 13-16 sun1 / dif1 / sun2 / dif2 reached sky
+  bits 17-18 primary hit material code (0 none, 1 grass, 2 rock, 3 snow)
+  bits 19-20 dif1 hit material code
 """
 
 from __future__ import annotations
@@ -24,12 +48,35 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import MAX_TRACE_STEPS, ROOT_BLOCK_SIZE
+from ..constants import LIGHTING_SCALE, MAX_TRACE_STEPS, NORMAL_SKY, ROOT_BLOCK_SIZE
 from . import shading
-from .trace_pallas import _lut, _packed_material, build_hf_tables  # noqa: F401
+from .trace_pallas import (  # noqa: F401
+    _height_from_corners,
+    _lut,
+    _lut_many,
+    build_hf_tables,
+)
 
 _HALF = ROOT_BLOCK_SIZE // 2
 LANES = 128
+
+# Iteration caps of the fused cascade (see trace_pallas.COMPACT_CAPS): the
+# whole 5-leg path shares one budget, so caps cover total path length.
+FUSED_CAPS = (48, 192)
+
+
+def _mat_code(xi, yi, zi, seed):
+    """Material band at a solid voxel as a 2-bit code (1 grass 2 rock 3 snow).
+
+    Same band function as trace_pallas._packed_material; the packed u32 is
+    reconstructed from the code in the final shade pass.
+    """
+    from ..world.generate import material_band
+    from ..world.noise import hash3_u32
+
+    bits = hash3_u32(xi, yi, zi, seed + 1)
+    band = material_band(zi, bits)
+    return jnp.where(band == 2, 1, jnp.where(band == 5, 2, 3)).astype(jnp.int32)
 
 
 def _make_kernel(tile_rows: int, max_steps: int, seed: int):
@@ -37,12 +84,15 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
 
     def kernel(
         iscal_ref,  # SMEM (8,) i32: r0x, r0y, lrx, lry, lrz
-        fscal_ref,  # SMEM (8,) f32: sunx, suny, sunz, slr, slg, slb
-        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # camera rays
-        n1r_ref, n1g_ref, n2r_ref, n2g_ref,  # per-pixel blue noise
-        hsub_ref, h3_ref,  # packed pyramid tables (see build_hf_tables)
-        lr_ref, lg_ref, lb_ref,  # lighting out (pre /16)
-        pnormal_ref, pair_ref, ppacked_ref, pdist_ref, pexh_ref,  # primary out
+        fscal_ref,  # SMEM (8,) f32: sun xyz
+        px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref,  # current ray
+        qx_ref, qy_ref, qz_ref,  # bounce base point (last nudged hit)
+        pd_ref,  # primary distance accumulator
+        nw_ref,  # packed per-pixel blue noise (4 bytes)
+        meta_ref,  # packed path state (see module docstring)
+        hsub_ref, h3_ref, ca_ref, cb_ref, cc_ref, cd_ref,  # region tables
+        opx_ref, opy_ref, opz_ref, odx_ref, ody_ref, odz_ref,
+        oqx_ref, oqy_ref, oqz_ref, opd_ref, ometa_ref,
     ):
         r0x = iscal_ref[0]
         r0y = iscal_ref[1]
@@ -52,30 +102,31 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             jnp.float32(iscal_ref[4]),
         )
         sun = (fscal_ref[0], fscal_ref[1], fscal_ref[2])
-        sunlight = (fscal_ref[3], fscal_ref[4], fscal_ref[5])
 
         hsub = hsub_ref[:]
         h3 = h3_ref[:]
-        n1r, n1g = n1r_ref[:], n1g_ref[:]
-        n2r, n2g = n2r_ref[:], n2g_ref[:]
+        cA, cB, cC, cD = ca_ref[:], cb_ref[:], cc_ref[:], cd_ref[:]
 
         eps = jnp.float32(1e-4)
+        izero = jnp.zeros((S, LANES), jnp.int32)
+
+        # Per-pixel noise values (exact k/255 reconstruction).
+        nw = nw_ref[:]
+        n1r = (nw & 255).astype(jnp.float32) / 255.0
+        n1g = ((nw >> 8) & 255).astype(jnp.float32) / 255.0
+        n2r = ((nw >> 16) & 255).astype(jnp.float32) / 255.0
+        n2g = ((nw >> 24) & 255).astype(jnp.float32) / 255.0
 
         def norm3(x, y, z):
             inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
             return x * inv, y * inv, z * inv
 
-        def sky3(dx_, dy_, dz_, include_sun):
-            r, g, b = shading.sample_sky(
-                jnp, (dx_, dy_, dz_), sun, sunlight, include_sun
-            )
-            return r, g, b
-
-        def sun_jitter(nr, ng):
-            return norm3(sun[0] + nr * 0.05, sun[1] + ng * 0.05, sun[2])
-
-        def diffuse3(nr, ng, normal_id):
-            return shading.diffuse_direction(jnp, nr, ng, normal_id)
+        # Jittered sun directions are pure functions of the noise: hoisted
+        # out of every loop (raytrace.comp:322 sun + noise.xy * 0.05).
+        sj1 = norm3(sun[0] + n1r * 0.05, sun[1] + n1g * 0.05,
+                    jnp.zeros((S, LANES), jnp.float32) + sun[2])
+        sj2 = norm3(sun[0] + n2r * 0.05, sun[1] + n2g * 0.05,
+                    jnp.zeros((S, LANES), jnp.float32) + sun[2])
 
         def classify(px, py, pz):
             xi = jnp.floor(px).astype(jnp.int32)
@@ -89,13 +140,7 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             e32 = ((zi >> 5) << 5) >= ((w >> 18) & 511)
             e16 = ((zi >> 4) << 4) >= ((w >> 9) & 511)
             e8 = ((zi >> 3) << 3) >= h8
-            step = jnp.where(e32, 32, jnp.where(e16, 16, jnp.where(e8, 8, 0)))
-            return xi, yi, zi, step, h8, i3, rx, ry
-
-        def height_of(xi, yi):
-            from ..world.heightmap import height_at
-
-            return height_at(xi, yi, seed)
+            return jnp.where(e32, 32, jnp.where(e16, 16, jnp.where(e8, 8, 0)))
 
         def boundary_dist(p, dv, step_f):
             mul = jnp.where(dv > 0, jnp.float32(-1.0), jnp.float32(1.0))
@@ -103,46 +148,59 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             m = jnp.mod((p + jnp.float32(_HALF)) * mul, step_f)
             return (eps + m) * lp
 
-        zero = jnp.zeros((S, LANES), jnp.float32)
-        izero = jnp.zeros((S, LANES), jnp.int32)
+        def oob_of(px, py, pz):
+            return (
+                (jnp.abs(px - lrf[0]) >= jnp.float32(_HALF))
+                | (jnp.abs(py - lrf[1]) >= jnp.float32(_HALF))
+                | (jnp.abs(pz - lrf[2]) >= jnp.float32(_HALF))
+            )
 
-        state = dict(
-            i=jnp.int32(0),
-            leg=izero,  # 0 primary, 1 sun1, 2 dif1, 3 sun2, 4 dif2, 5 done
-            px=ox_ref[:], py=oy_ref[:], pz=oz_ref[:],
-            dx=dx_ref[:], dy=dy_ref[:], dz=dz_ref[:],
-            normal=izero,
-            parked=izero,
-            lightr=zero, lightg=zero, lightb=zero,
-            l2r=zero, l2g=zero, l2b=zero,
-            q1x=zero, q1y=zero, q1z=zero,  # primary hit position (nudged)
-            q2x=zero, q2y=zero, q2z=zero,  # dif1 hit position (nudged)
-            p_normal=izero, p_air=izero, p_packed=izero, p_dist=zero,
-            n1_normal=izero,  # normal at primary hit (for d1) / dif1 hit (for d2)
-            d1_packed=izero,  # dif1 hit material (0 if sky)
-        )
-
-        def transition(s, completed_hit, completed_air, hcol):
-            """Apply leg transitions for rays that just completed."""
-            leg = s["leg"]
-            px, py, pz = s["px"], s["py"], s["pz"]
-            dx_, dy_, dz_ = s["dx"], s["dy"], s["dz"]
-            completed = completed_hit | completed_air
-
-            # Hit voxel + nudged restart position for hit completions.
-            nx_, ny_, nz_ = shading.face_normal_vector(jnp, s["normal"])
-            hx = px + 0.001 * nx_
-            hy = py + 0.001 * ny_
-            hz = pz + 0.001 * nz_
+        def hit_info(px, py, pz):
+            """(inside_solid, hcol, matcode) at the current position."""
             xi = jnp.floor(px).astype(jnp.int32)
             yi = jnp.floor(py).astype(jnp.int32)
             zi = jnp.floor(pz).astype(jnp.int32)
-            packed = _packed_material(xi, yi, zi, seed).astype(jnp.int32)
+            rx = jnp.clip(xi - r0x, 0, ROOT_BLOCK_SIZE - 1)
+            ry = jnp.clip(yi - r0y, 0, ROOT_BLOCK_SIZE - 1)
+            i3 = (ry >> 3) * 32 + (rx >> 3)
+            ca, cb, cc, cd = _lut_many((cA, cB, cC, cD), i3)
+            hcol = jnp.maximum(
+                _height_from_corners(ca, cb, cc, cd, xi, yi, seed), 0
+            )
+            return zi < hcol, _mat_code(xi, yi, zi, seed)
 
-            # Shading values used at transitions.
-            skyr, skyg, skyb = sky3(dx_, dy_, dz_, True)
-            sjx1, sjy1, sjz1 = sun_jitter(n1r, n1g)
-            sjx2, sjy2, sjz2 = sun_jitter(n2r, n2g)
+        # Loop state: positions/dirs/base/meta fields as SoA registers.
+        meta0 = meta_ref[:]
+        state = dict(
+            i=jnp.int32(0),
+            px=px_ref[:], py=py_ref[:], pz=pz_ref[:],
+            dx=dx_ref[:], dy=dy_ref[:], dz=dz_ref[:],
+            qx=qx_ref[:], qy=qy_ref[:], qz=qz_ref[:],
+            pd=pd_ref[:],
+            leg=meta0 & 7,
+            cn=(meta0 >> 3) & 7,
+            pn=(meta0 >> 6) & 7,
+            nn=(meta0 >> 9) & 7,
+            acc=(meta0 >> 12),
+            parked=izero,
+        )
+
+        def transition(s):
+            """Detect completed rays statelessly and start their next leg."""
+            leg = s["leg"]
+            px, py, pz = s["px"], s["py"], s["pz"]
+            live = leg < 5
+            oob = oob_of(px, py, pz)
+            solid, matc = hit_info(px, py, pz)
+            completed_air = live & oob
+            completed_hit = live & ~oob & solid
+            completed = completed_air | completed_hit
+
+            # Nudged restart point for hit completions (raytrace.comp:166-180).
+            nxv, nyv, nzv = shading.face_normal_vector(jnp, s["cn"])
+            hx = px + 0.001 * nxv
+            hy = py + 0.001 * nyv
+            hz = pz + 0.001 * nzv
 
             is0 = leg == 0
             is1 = leg == 1
@@ -150,65 +208,23 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             is3 = leg == 3
             is4 = leg == 4
 
-            # --- record primary G-buffer data (leg 0 completion) ---
-            c0 = completed & is0
-            ox0, oy0, oz0 = ox_ref[:], oy_ref[:], oz_ref[:]
-            dist0 = jnp.sqrt(
-                (px - ox0) ** 2 + (py - oy0) ** 2 + (pz - oz0) ** 2
-            )
-            p_air = jnp.where(c0, completed_air.astype(jnp.int32), s["p_air"])
-            p_normal = jnp.where(c0, s["normal"], s["p_normal"])
-            p_packed = jnp.where(
-                c0 & completed_hit, packed, s["p_packed"]
-            )
-            p_dist = jnp.where(c0, dist0, s["p_dist"])
+            c0h = completed_hit & is0
+            c2h = completed_hit & is2
+            pn = jnp.where(c0h, s["cn"], s["pn"])
+            nn = jnp.where(c2h, s["cn"], s["nn"])
 
-            # --- lighting accumulation ---
-            lightr, lightg, lightb = s["lightr"], s["lightg"], s["lightb"]
-            # primary sky: full sky with sun disk
-            a0 = c0 & completed_air
-            lightr = jnp.where(a0, skyr, lightr)
-            lightg = jnp.where(a0, skyg, lightg)
-            lightb = jnp.where(a0, skyb, lightb)
-            # sun legs reaching sky add sunlight
-            a1 = completed_air & is1
-            lightr = jnp.where(a1, lightr + sunlight[0], lightr)
-            lightg = jnp.where(a1, lightg + sunlight[1], lightg)
-            lightb = jnp.where(a1, lightb + sunlight[2], lightb)
-            a2 = completed_air & is2
-            lightr = jnp.where(a2, lightr + skyr, lightr)
-            lightg = jnp.where(a2, lightg + skyg, lightg)
-            lightb = jnp.where(a2, lightb + skyb, lightb)
-            l2r, l2g, l2b = s["l2r"], s["l2g"], s["l2b"]
-            a3 = completed_air & is3
-            l2r = jnp.where(a3, l2r + sunlight[0], l2r)
-            l2g = jnp.where(a3, l2g + sunlight[1], l2g)
-            l2b = jnp.where(a3, l2b + sunlight[2], l2b)
-            a4 = completed_air & is4
-            l2r = jnp.where(a4, l2r + skyr, l2r)
-            l2g = jnp.where(a4, l2g + skyg, l2g)
-            l2b = jnp.where(a4, l2b + skyb, l2b)
+            # Accumulator bits.
+            acc = s["acc"]
+            acc = acc | jnp.where(completed_air & is0, 1, 0)
+            acc = acc | jnp.where(completed_air & is1, 2, 0)
+            acc = acc | jnp.where(completed_air & is2, 4, 0)
+            acc = acc | jnp.where(completed_air & is3, 8, 0)
+            acc = acc | jnp.where(completed_air & is4, 16, 0)
+            acc = acc | jnp.where(c0h, matc << 5, 0)
+            acc = acc | jnp.where(c2h, matc << 7, 0)
 
-            # --- saved hit state ---
-            h0 = c0 & completed_hit
-            q1x = jnp.where(h0, hx, s["q1x"])
-            q1y = jnp.where(h0, hy, s["q1y"])
-            q1z = jnp.where(h0, hz, s["q1z"])
-            h2_ = completed_hit & is2
-            q2x = jnp.where(h2_, hx, s["q2x"])
-            q2y = jnp.where(h2_, hy, s["q2y"])
-            q2z = jnp.where(h2_, hz, s["q2z"])
-            d1_packed = jnp.where(h2_, packed, s["d1_packed"])
-            n1_normal = jnp.where(
-                h0, s["normal"], jnp.where(h2_, s["normal"], s["n1_normal"])
-            )
-
-            # --- next leg + next ray ---
-            # leg 0: hit -> 1 (sun1 from q1); air -> 5
-            # leg 1: always -> 2 (dif1 from q1, diffuse(n1, primary normal))
-            # leg 2: hit -> 3 (sun2 from q2); air -> 5
-            # leg 3: always -> 4 (dif2 from q2, diffuse(n2, dif1 normal))
-            # leg 4: always -> 5
+            # Next leg: 0 -> 1 on hit / 5 on air; 1 -> 2; 2 -> 3 on hit / 5;
+            # 3 -> 4; 4 -> 5.
             next_leg = jnp.where(
                 is0, jnp.where(completed_hit, 1, 5),
                 jnp.where(is1, 2,
@@ -217,35 +233,37 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             )
             leg_new = jnp.where(completed, next_leg, leg)
 
-            dfx, dfy, dfz = diffuse3(n1r, n1g, n1_normal)
-            dfx2, dfy2, dfz2 = diffuse3(n2r, n2g, n1_normal)
+            # Fresh base point when a bounce starts from a new hit.
+            qx = jnp.where(c0h | c2h, hx, s["qx"])
+            qy = jnp.where(c0h | c2h, hy, s["qy"])
+            qz = jnp.where(c0h | c2h, hz, s["qz"])
 
-            starts1 = completed & is0 & completed_hit  # -> sun1
-            starts2 = completed & is1                  # -> dif1
-            starts3 = completed & is2 & completed_hit  # -> sun2
-            starts4 = completed & is3                  # -> dif2
-            npx = jnp.where(starts1 | starts2, q1x, jnp.where(starts3 | starts4, q2x, px))
-            npy = jnp.where(starts1 | starts2, q1y, jnp.where(starts3 | starts4, q2y, py))
-            npz = jnp.where(starts1 | starts2, q1z, jnp.where(starts3 | starts4, q2z, pz))
-            ndx = jnp.where(starts1, sjx1, jnp.where(starts2, dfx, jnp.where(starts3, sjx2, jnp.where(starts4, dfx2, dx_))))
-            ndy = jnp.where(starts1, sjy1, jnp.where(starts2, dfy, jnp.where(starts3, sjy2, jnp.where(starts4, dfy2, dy_))))
-            ndz = jnp.where(starts1, sjz1, jnp.where(starts2, dfz, jnp.where(starts3, sjz2, jnp.where(starts4, dfz2, dz_))))
+            # New ray origin + direction for lanes starting a leg.
+            starts1 = c0h
+            starts2 = completed & is1
+            starts3 = c2h
+            starts4 = completed & is3
+            starting = starts1 | starts2 | starts3 | starts4
+            dfx, dfy, dfz = shading.diffuse_direction(jnp, n1r, n1g, pn)
+            gfx, gfy, gfz = shading.diffuse_direction(jnp, n2r, n2g, nn)
+            npx = jnp.where(starting, qx, px)
+            npy = jnp.where(starting, qy, py)
+            npz = jnp.where(starting, qz, pz)
+            ndx = jnp.where(starts1, sj1[0], jnp.where(starts2, dfx, jnp.where(starts3, sj2[0], jnp.where(starts4, gfx, s["dx"]))))
+            ndy = jnp.where(starts1, sj1[1], jnp.where(starts2, dfy, jnp.where(starts3, sj2[1], jnp.where(starts4, gfy, s["dy"]))))
+            ndz = jnp.where(starts1, sj1[2], jnp.where(starts2, dfz, jnp.where(starts3, sj2[2], jnp.where(starts4, gfz, s["dz"]))))
 
             return dict(
                 s,
-                leg=leg_new,
                 px=npx, py=npy, pz=npz,
                 dx=ndx, dy=ndy, dz=ndz,
-                lightr=lightr, lightg=lightg, lightb=lightb,
-                l2r=l2r, l2g=l2g, l2b=l2b,
-                q1x=q1x, q1y=q1y, q1z=q1z,
-                q2x=q2x, q2y=q2y, q2z=q2z,
-                p_normal=p_normal, p_air=p_air, p_packed=p_packed, p_dist=p_dist,
-                n1_normal=n1_normal, d1_packed=d1_packed,
+                qx=qx, qy=qy, qz=qz,
+                leg=leg_new, pn=pn, nn=nn, acc=acc,
+                parked=izero,
             )
 
-        def move_and_complete(s, lx, ly, lz, act, hit_now, hcol):
-            """Advance act lanes, detect air completions, run transitions."""
+        def move(s, lx, ly, lz, act):
+            """Advance act lanes to the nearest boundary; park on exit."""
             dx_, dy_, dz_ = s["dx"], s["dy"], s["dz"]
             use_x = (lx < ly) & (lx < lz)
             use_y = ~(lx < ly) & (ly < lz)
@@ -255,33 +273,33 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             nz_id = jnp.where(dz_ > 0, jnp.int32(5), jnp.int32(4))
             nrm = jnp.where(use_x, nx_id, jnp.where(use_y, ny_id, nz_id))
 
-            move = act & ~hit_now
-            npx = jnp.where(move, s["px"] + dx_ * lmin, s["px"])
-            npy = jnp.where(move, s["py"] + dy_ * lmin, s["py"])
-            npz = jnp.where(move, s["pz"] + dz_ * lmin, s["pz"])
-            nnormal = jnp.where(move, nrm, s["normal"])
-
-            oob = (
-                (jnp.abs(npx - lrf[0]) >= jnp.float32(_HALF))
-                | (jnp.abs(npy - lrf[1]) >= jnp.float32(_HALF))
-                | (jnp.abs(npz - lrf[2]) >= jnp.float32(_HALF))
+            npx = jnp.where(act, s["px"] + dx_ * lmin, s["px"])
+            npy = jnp.where(act, s["py"] + dy_ * lmin, s["py"])
+            npz = jnp.where(act, s["pz"] + dz_ * lmin, s["pz"])
+            cn = jnp.where(act, nrm, s["cn"])
+            pd = s["pd"] + jnp.where(
+                act & (s["leg"] == 0), lmin, jnp.float32(0.0)
             )
-            completed_air = move & oob
-            s = dict(s, px=npx, py=npy, pz=npz, normal=nnormal, i=s["i"] + 1)
-            return transition(s, hit_now, completed_air, hcol)
+            # Rays leaving the region park; the outer transition reads the
+            # out-of-bounds position as a sky completion.
+            oob = oob_of(npx, npy, npz)
+            parked = s["parked"] | (act & oob).astype(jnp.int32)
+            return dict(
+                s, i=s["i"] + 1, px=npx, py=npy, pz=npz, cn=cn, pd=pd,
+                parked=parked,
+            )
 
-        # ---- alternating coarse/fine phases (see trace_pallas.py) ----
-        def live(s):
+        def live_of(s):
             return (s["leg"] < 5) & (s["parked"] == 0)
 
         def cond_phase(s):
             return (s["i"] < max_steps) & (
-                jnp.sum(live(s).astype(jnp.int32)) > 0
+                jnp.sum(live_of(s).astype(jnp.int32)) > 0
             )
 
         def body_c(s):
-            act = live(s)
-            _, _, _, step, _, _, _, _ = classify(s["px"], s["py"], s["pz"])
+            act = live_of(s)
+            step = classify(s["px"], s["py"], s["pz"])
             near = step < 8
             s = dict(s, parked=s["parked"] | (act & near).astype(jnp.int32))
             act = act & ~near
@@ -289,15 +307,23 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             lx = boundary_dist(s["px"], s["dx"], step_f)
             ly = boundary_dist(s["py"], s["dy"], step_f)
             lz = boundary_dist(s["pz"], s["dz"], step_f)
-            return move_and_complete(
-                s, lx, ly, lz, act, jnp.zeros((S, LANES), bool), izero
-            )
+            return move(s, lx, ly, lz, act)
 
         def body_f(s):
-            act = live(s)
+            act = live_of(s)
             px, py, pz = s["px"], s["py"], s["pz"]
-            xi, yi, zi, step, h8, i3, rx, ry = classify(px, py, pz)
-            word = _lut(hsub, i3)
+            xi = jnp.floor(px).astype(jnp.int32)
+            yi = jnp.floor(py).astype(jnp.int32)
+            zi = jnp.floor(pz).astype(jnp.int32)
+            rx = jnp.clip(xi - r0x, 0, ROOT_BLOCK_SIZE - 1)
+            ry = jnp.clip(yi - r0y, 0, ROOT_BLOCK_SIZE - 1)
+            i3 = (ry >> 3) * 32 + (rx >> 3)
+            w, word, ca, cb, cc, cd = _lut_many((h3, hsub, cA, cB, cC, cD), i3)
+            h8 = w & 511
+            e32 = ((zi >> 5) << 5) >= ((w >> 18) & 511)
+            e16 = ((zi >> 4) << 4) >= ((w >> 9) & 511)
+            e8 = ((zi >> 3) << 3) >= h8
+            step = jnp.where(e32, 32, jnp.where(e16, 16, jnp.where(e8, 8, 0)))
             quad = (((ry >> 2) & 1) << 1) | ((rx >> 2) & 1)
             delta = (word >> (quad << 3)) & 255
             e4 = ((zi >> 2) << 2) >= (h8 - delta)
@@ -306,8 +332,14 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             s = dict(s, parked=s["parked"] | (act & (step >= 8)).astype(jnp.int32))
             act = act & (step < 8)
 
-            hcol = jnp.maximum(height_of(xi, yi), 0)
+            hcol = jnp.maximum(
+                _height_from_corners(ca, cb, cc, cd, xi, yi, seed), 0
+            )
+            # Inside solid: the ray completed when it entered this voxel —
+            # park; the outer transition re-derives the hit statelessly.
             hit_now = act & fine & (zi < hcol)
+            s = dict(s, parked=s["parked"] | hit_now.astype(jnp.int32))
+            act = act & ~hit_now
 
             step_f = jnp.maximum(step, 1).astype(jnp.float32)
             lxc = boundary_dist(px, s["dx"], step_f)
@@ -325,7 +357,7 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             lx = jnp.where(fine, lxf, lxc)
             ly = jnp.where(fine, lyf, lyc)
             lz = jnp.where(fine, lzf, lzc)
-            return move_and_complete(s, lx, ly, lz, act, hit_now, hcol)
+            return move(s, lx, ly, lz, act)
 
         def outer_cond(s):
             return (s["i"] < max_steps) & (
@@ -333,35 +365,41 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             )
 
         def outer_body(s):
-            s = dict(s, parked=izero)
+            s = transition(s)
             s = jax.lax.while_loop(cond_phase, body_c, s)
             s = dict(s, parked=(s["leg"] >= 5).astype(jnp.int32))
             s = jax.lax.while_loop(cond_phase, body_f, s)
             return s
 
         s = jax.lax.while_loop(outer_cond, outer_body, state)
+        # One final transition so completions from the last phase pass are
+        # not lost when every lane is otherwise done (the loop exits before
+        # applying them).
+        s = transition(s)
 
-        # Final combine: light += light2 * albedo(dif1); d1_packed is 0 when
-        # dif1 reached the sky, so the term vanishes (raytrace.comp:333-348).
-        p1 = s["d1_packed"]
-        a1r = ((p1 >> 14) & 0x7F).astype(jnp.float32) / 127.0
-        a1g = ((p1 >> 7) & 0x7F).astype(jnp.float32) / 127.0
-        a1b = (p1 & 0x7F).astype(jnp.float32) / 127.0
-        lr_ref[:] = s["lightr"] + s["l2r"] * a1r
-        lg_ref[:] = s["lightg"] + s["l2g"] * a1g
-        lb_ref[:] = s["lightb"] + s["l2b"] * a1b
-        pnormal_ref[:] = s["p_normal"]
-        pair_ref[:] = s["p_air"]
-        ppacked_ref[:] = s["p_packed"]
-        pdist_ref[:] = s["p_dist"]
-        pexh_ref[:] = (s["leg"] == 0).astype(jnp.int32)  # primary never resolved
+        opx_ref[:] = s["px"]
+        opy_ref[:] = s["py"]
+        opz_ref[:] = s["pz"]
+        odx_ref[:] = s["dx"]
+        ody_ref[:] = s["dy"]
+        odz_ref[:] = s["dz"]
+        oqx_ref[:] = s["qx"]
+        oqy_ref[:] = s["qy"]
+        oqz_ref[:] = s["qz"]
+        opd_ref[:] = s["pd"]
+        ometa_ref[:] = (
+            s["leg"] | (s["cn"] << 3) | (s["pn"] << 6) | (s["nn"] << 9)
+            | (s["acc"] << 12)
+        )
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "max_steps", "seed", "tile_rows", "interpret"),
+    static_argnames=(
+        "width", "height", "max_steps", "seed", "tile_rows", "interpret", "caps",
+    ),
 )
 def render_gbuffers_fused(
     tables: dict,
@@ -373,25 +411,29 @@ def render_gbuffers_fused(
     seed: int = 0,
     tile_rows: int = 16,
     interpret: bool | None = None,
+    caps: tuple = FUSED_CAPS,
 ) -> dict[str, jax.Array]:
-    """Full G-buffer pass through the fused lighting kernel.
+    """Full G-buffer pass through the fused path kernel + compaction cascade.
 
     Output-compatible with trace_jax.integrate_gbuffers / render_gbuffers_hf.
+    `caps` bounds each cascade level's iterations (whole-path budget); after
+    each level the not-yet-done rays are stably sorted to the front so
+    straggler paths stop holding whole tiles hostage (see
+    trace_pallas.COMPACT_CAPS for the rationale and measurements).
     """
-    from ..constants import LIGHTING_SCALE, NORMAL_SKY
     from .trace_jax import camera_rays
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     origin, ray_dir = camera_rays(uniforms, width, height)
-    nh, nw = blue_noise.shape[0], blue_noise.shape[1]
+    nh, nw_ = blue_noise.shape[0], blue_noise.shape[1]
     seed_u = uniforms["seed"].astype(jnp.int32)
-    off_x = jnp.floor(blue_noise[seed_u // nw % nh, seed_u % nw, 0] * 255.0 + 0.5).astype(jnp.int32)
-    off_y = jnp.floor(blue_noise[seed_u // nw % nh, seed_u % nw, 1] * 255.0 + 0.5).astype(jnp.int32)
+    off_x = jnp.floor(blue_noise[seed_u // nw_ % nh, seed_u % nw_, 0] * 255.0 + 0.5).astype(jnp.int32)
+    off_y = jnp.floor(blue_noise[seed_u // nw_ % nh, seed_u % nw_, 1] * 255.0 + 0.5).astype(jnp.int32)
     base = jnp.roll(blue_noise, (-off_y, -off_x), (0, 1))
     reps_y = -(-height // nh)
-    reps_x = -(-width // nw)
+    reps_x = -(-width // nw_)
     noise1 = jnp.tile(base, (reps_y, reps_x, 1))[:height, :width]
     base2 = jnp.roll(blue_noise, (-off_y - 2, -off_x - 2), (0, 1))
     noise2 = jnp.tile(base2, (reps_y, reps_x, 1))[:height, :width]
@@ -399,8 +441,8 @@ def render_gbuffers_fused(
     sun = shading.sun_direction(jnp, uniforms["sun_angle"])
     sunlight = shading.sun_color(jnp, sun)
     fscal = jnp.stack(
-        [sun[0], sun[1], sun[2], sunlight[0], sunlight[1], sunlight[2],
-         jnp.float32(0), jnp.float32(0)]
+        [sun[0], sun[1], sun[2], jnp.float32(0), jnp.float32(0),
+         jnp.float32(0), jnp.float32(0), jnp.float32(0)]
     ).astype(jnp.float32)
     lri = uniforms["lr"].astype(jnp.int32)
     iscal = jnp.stack(
@@ -412,78 +454,174 @@ def render_gbuffers_fused(
     per_tile = tile_rows * LANES
     n_pad = -(-n // per_tile) * per_tile
     grid = n_pad // per_tile
+    rows = grid * tile_rows
 
     def flat(x, pad_value=0.0):
-        # Tail rays must terminate in one step (see trace_pallas.flat).
+        # Tail rays sit far outside the region: the first transition reads
+        # them as sky completions at zero traversal cost.
         f = x.reshape(n)
         f = jnp.pad(f, (0, n_pad - n), constant_values=pad_value)
-        return f.reshape(grid * tile_rows, LANES)
+        return f.reshape(rows, LANES)
 
-    comps = [
-        flat(origin[..., 0]), flat(origin[..., 1]), flat(origin[..., 2], 1e9),
-        flat(ray_dir[..., 0]), flat(ray_dir[..., 1]), flat(ray_dir[..., 2], 1.0),
-        flat(noise1[..., 0]), flat(noise1[..., 1]),
-        flat(noise2[..., 0]), flat(noise2[..., 1]),
-    ]
+    def byte(img):
+        return jnp.round(img * 255.0).astype(jnp.int32)
 
-    kernel = _make_kernel(tile_rows, max_steps, seed)
+    nw = (
+        byte(noise1[..., 0])
+        | (byte(noise1[..., 1]) << 8)
+        | (byte(noise2[..., 0]) << 16)
+        | (byte(noise2[..., 1]) << 24)
+    )
+
+    def flat_i(x, pad_value=0):
+        f = x.reshape(n)
+        f = jnp.pad(f, (0, n_pad - n), constant_values=pad_value)
+        return f.reshape(rows, LANES)
+
+    zero_f = jnp.zeros((rows, LANES), jnp.float32)
+    zero_i = jnp.zeros((rows, LANES), jnp.int32)
+    cx = flat(origin[..., 0])
+    cy = flat(origin[..., 1])
+    cz = flat(origin[..., 2], 1e9)
+    cdx = flat(ray_dir[..., 0])
+    cdy = flat(ray_dir[..., 1])
+    cdz = flat(ray_dir[..., 2], 1.0)
+    cqx, cqy, cqz = zero_f, zero_f, zero_f
+    cpd = zero_f
+    cnw = flat_i(nw)
+    cmeta = zero_i
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES + (
+        jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    )
+    cidx = iota
+
     ray_spec = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     table_spec = lambda t: pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    outf = jax.ShapeDtypeStruct((grid * tile_rows, LANES), jnp.float32)
-    outi = jax.ShapeDtypeStruct((grid * tile_rows, LANES), jnp.int32)
+    outf = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    outi = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+    table_keys = ("hsub", "h3", "cA", "cB", "cC", "cD")
 
-    lr_, lg_, lb_, pnormal, pair, ppacked, pdist, pexh = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
-        + [ray_spec] * 10
-        + [table_spec(tables[k]) for k in ("hsub", "h3")],
-        out_specs=[ray_spec] * 8,
-        out_shape=[outf, outf, outf, outi, outi, outi, outf, outi],
-        interpret=interpret,
-    )(iscal, fscal, *comps, tables["hsub"], tables["h3"])
+    def run_pass(steps, *ops):
+        kernel = _make_kernel(tile_rows, steps, seed)
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+            + [ray_spec] * 12
+            + [table_spec(tables[k]) for k in table_keys],
+            out_specs=[ray_spec] * 11,
+            out_shape=[outf] * 10 + [outi],
+            interpret=interpret,
+        )(iscal, fscal, *ops, *(tables[k] for k in table_keys))
+
+    def rsort(key, ops):
+        out = jax.lax.sort(
+            (key.reshape(n_pad),) + tuple(x.reshape(n_pad) for x in ops),
+            num_keys=1,
+        )
+        return tuple(x.reshape(rows, LANES) for x in out[1:])
+
+    levels = [c for c in caps if 0 < c < max_steps] + [max_steps]
+    for li, cap in enumerate(levels):
+        if li > 0:
+            # Stable partition: unfinished paths first (sorted by the
+            # single-bit done key + original position; spatial coherence of
+            # the stragglers survives).  All-done suffix tiles exit the next
+            # pass at zero traversal iterations.
+            done = ((cmeta & 7) == 5).astype(jnp.int32)
+            key = done * jnp.int32(n_pad) + iota
+            (cx, cy, cz, cdx, cdy, cdz, cqx, cqy, cqz, cpd, cnw, cmeta,
+             cidx) = rsort(
+                key,
+                (cx, cy, cz, cdx, cdy, cdz, cqx, cqy, cqz, cpd, cnw, cmeta,
+                 cidx),
+            )
+        (cx, cy, cz, cdx, cdy, cdz, cqx, cqy, cqz, cpd, cmeta) = run_pass(
+            cap, cx, cy, cz, cdx, cdy, cdz, cqx, cqy, cqz, cpd, cnw, cmeta
+        )
+
+    # Back to pixel order; only the shade inputs travel.
+    cmeta, cpd = rsort(cidx, (cmeta, cpd))
 
     def unflat(x):
         return x.reshape(n_pad)[:n].reshape(height, width)
 
-    light = jnp.stack([unflat(lr_), unflat(lg_), unflat(lb_)], -1)
-    p_air = unflat(pair).astype(bool)
-    p_packed = unflat(ppacked)
-    p_dist = unflat(pdist)
-    p_normal = unflat(pnormal)
-    exhausted = unflat(pexh).astype(bool)
+    meta = unflat(cmeta)
+    pdist = unflat(cpd)
 
-    albedo = jnp.stack(
-        [
-            ((p_packed >> 14) & 0x7F).astype(jnp.float32) / 127.0,
-            ((p_packed >> 7) & 0x7F).astype(jnp.float32) / 127.0,
-            (p_packed & 0x7F).astype(jnp.float32) / 127.0,
-        ],
-        -1,
-    )
-    hit_mask = ~p_air
+    # ---- final shade: reconstruct radiance from the path bits (planar) ----
+    leg = meta & 7
+    pn = (meta >> 6) & 7
+    nn = (meta >> 9) & 7
+    acc = meta >> 12
+    p_air = (acc & 1) != 0
+    a1 = ((acc >> 1) & 1).astype(jnp.float32)
+    a2 = ((acc >> 2) & 1).astype(jnp.float32)
+    a3 = ((acc >> 3) & 1).astype(jnp.float32)
+    a4 = ((acc >> 4) & 1).astype(jnp.float32)
+    pmat = (acc >> 5) & 3
+    dmat = (acc >> 7) & 3
 
-    def sky_img(d, include_sun):
-        r, g, b = shading.sample_sky(
-            jnp, (d[..., 0], d[..., 1], d[..., 2]), sun, sunlight, include_sun
+    from ..materials import PACKED_MATERIALS
+
+    def mat_albedo(code):
+        packed = jnp.where(
+            code == 1, jnp.int32(int(PACKED_MATERIALS[2])),
+            jnp.where(code == 2, jnp.int32(int(PACKED_MATERIALS[5])),
+                      jnp.where(code == 3, jnp.int32(int(PACKED_MATERIALS[6])),
+                                jnp.int32(0))),
         )
-        r, g, b = jnp.broadcast_arrays(r, g, b)
-        return jnp.stack([r, g, b], -1)
+        return [
+            ((packed >> 14) & 0x7F).astype(jnp.float32) / 127.0,
+            ((packed >> 7) & 0x7F).astype(jnp.float32) / 127.0,
+            (packed & 0x7F).astype(jnp.float32) / 127.0,
+        ]
 
+    alb_p = mat_albedo(pmat)
+    alb_d = mat_albedo(dmat)
+
+    def sky_ch(dxyz, include_sun):
+        return shading.sample_sky(jnp, dxyz, sun, sunlight, include_sun)
+
+    d1 = shading.diffuse_direction(jnp, noise1[..., 0], noise1[..., 1], pn)
+    d2 = shading.diffuse_direction(jnp, noise2[..., 0], noise2[..., 1], nn)
+    rd = (ray_dir[..., 0], ray_dir[..., 1], ray_dir[..., 2])
+    sky0 = sky_ch(rd, True)
+    sky1 = sky_ch(d1, True)
+    sky2 = sky_ch(d2, True)
+    fog0 = sky_ch(rd, False)
+
+    light = []
+    for c in range(3):
+        lh = a1 * sunlight[c] + a2 * sky1[c] + (
+            a3 * sunlight[c] + a4 * sky2[c]
+        ) * alb_d[c]
+        light.append(jnp.where(p_air, sky0[c] + jnp.zeros_like(lh), lh))
+    lighting = jnp.stack(light, -1) / jnp.float32(LIGHTING_SCALE)
+
+    exhausted = leg == 0  # primary ray never resolved: the REPORT_ERROR case
     depth = jnp.where(
         p_air,
         jnp.uint32(0xFFFF),
-        jnp.minimum(p_dist * 32.0, jnp.float32(0xFFFF)).astype(jnp.uint32),
+        jnp.minimum(pdist * 32.0, jnp.float32(0xFFFF)).astype(jnp.uint32),
     ).astype(jnp.uint16)
-    fog = sky_img(ray_dir, False) / 2.0
-    fog = jnp.where(exhausted[..., None], jnp.array([1.0, 0.0, 1.0], jnp.float32), fog)
     depth = jnp.where(exhausted, jnp.uint16(256 * 254), depth)
+    fog = jnp.stack(
+        [jnp.broadcast_to(f, leg.shape) for f in fog0], -1
+    ) / 2.0
+    fog = jnp.where(exhausted[..., None], jnp.array([1.0, 0.0, 1.0], jnp.float32), fog)
+
+    hit_mask = ~p_air
+    albedo = jnp.stack(
+        [jnp.where(hit_mask, a, 1.0) for a in alb_p], -1
+    )
+    normal = jnp.where(p_air, jnp.int32(NORMAL_SKY), pn).astype(jnp.uint8)
 
     return {
-        "lighting": light / jnp.float32(LIGHTING_SCALE),
+        "lighting": lighting,
         "depth": depth,
-        "normal": jnp.where(p_air, jnp.int32(NORMAL_SKY), p_normal).astype(jnp.uint8),
-        "albedo": jnp.where(hit_mask[..., None], albedo, 1.0),
-        "emission": jnp.zeros_like(light),
+        "normal": normal,
+        "albedo": albedo,
+        "emission": jnp.zeros_like(lighting),
         "fog": fog,
     }

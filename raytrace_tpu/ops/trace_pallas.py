@@ -37,7 +37,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import MAX_TRACE_STEPS, ROOT_BLOCK_SIZE
-from ..world.heightmap import heightmap_grid
+from ..world.heightmap import (
+    LATTICE_SPACING,
+    dequant_lattice,
+    height_from_lattice,
+    heightmap_grid,
+    lattice_fields_q,
+)
 
 _HALF = ROOT_BLOCK_SIZE // 2  # 128
 LANES = 128
@@ -53,13 +59,22 @@ LEVELS = (3, 4, 5)
 
 @functools.partial(jax.jit, static_argnames=("seed",))
 def build_hf_tables(lr, seed: int = 0):
-    """Column-height pyramid for the loaded region centered at lr.
+    """Column-height pyramid + lattice-field tables for the region at lr.
 
-    Returns dict with flattened i32 tables 'h3' (8,128; one packed word per
-    8-block carrying the 8/16/32-level hmax values), 'hsub' (8,128; per-
-    quadrant 4-block deltas) and the region origin 'r0' (2,) i32.  The +1
-    margin makes the tables conservative against any last-ulp disagreement
-    between this builder and the in-kernel height evaluation.
+    Returns dict with flattened i32 tables, one word per 8-column block
+    (32x32 blocks -> (8, 128) each):
+      'h3'   — packed 8/16/32-level column-height maxima (+1 margin, which
+               makes the pyramid conservative against any last-ulp
+               disagreement between this builder and the in-kernel height);
+      'hsub' — per-quadrant 4-block hmax deltas;
+      'cA'..'cD' — the block's four terrain-lattice corner values
+               (r16 | e16 << 16, see world/heightmap.lattice_fields_q), from
+               which the kernel reconstructs exact column heights with one
+               bilinear + one analytic octave;
+    plus the region origin 'r0' (2,) i32.  r0 = lr - 128 must be a multiple
+    of LATTICE_SPACING so block corners land on the global lattice — the
+    streaming layer guarantees it (region offsets move on the 16-voxel
+    slice grid, render/streaming.py).
     """
     lr = jnp.asarray(lr, jnp.int32)
     r0 = lr[:2] - _HALF
@@ -95,7 +110,27 @@ def build_hf_tables(lr, seed: int = 0):
          | (delta[..., 1, 0] << 16)
          | (delta[..., 1, 1] << 24))
     hsub = q.astype(jnp.int32).reshape(8, 128)
-    return {"hsub": hsub, "h3": h3, "r0": r0}
+
+    # Terrain-lattice corner tables: the 33x33 global lattice points covering
+    # the region, packed one word per point, gathered per block corner.
+    nl = ROOT_BLOCK_SIZE // LATTICE_SPACING  # 32 blocks per side
+    lx = r0[0] + jnp.arange(nl + 1, dtype=jnp.int32)[None, :] * LATTICE_SPACING
+    ly = r0[1] + jnp.arange(nl + 1, dtype=jnp.int32)[:, None] * LATTICE_SPACING
+    r16, e16 = lattice_fields_q(
+        jnp.broadcast_to(lx, (nl + 1, nl + 1)),
+        jnp.broadcast_to(ly, (nl + 1, nl + 1)),
+        seed,
+    )
+    w = (r16 | (e16 << 16)).astype(jnp.int32)
+    corners = {
+        "cA": w[:nl, :nl],  # (y0, x0)
+        "cB": w[:nl, 1:],   # (y0, x1)
+        "cC": w[1:, :nl],   # (y1, x0)
+        "cD": w[1:, 1:],    # (y1, x1)
+    }
+    tables = {k: v.reshape(8, 128) for k, v in corners.items()}
+    tables.update({"hsub": hsub, "h3": h3, "r0": r0})
+    return tables
 
 
 # ---------------------------------------------------------------------------
@@ -110,29 +145,59 @@ def _lut(table, idx):
     within-row `dynamic_gather` (take_along_axis axis=1 at 128 lanes) plus
     row selects — W rounds total.
     """
-    rows = table.shape[0]
+    return _lut_many((table,), idx)[0]
+
+
+def _lut_many(tables, idx):
+    """Per-lane lookup of several same-shape (W, 128) tables at one index.
+
+    The row-select masks (`hi == w`) are computed once and shared across all
+    tables, so N tables cost W * (1 compare + N gathers + N selects) instead
+    of N full lookups.
+    """
+    rows = tables[0].shape[0]
     s = idx.shape[0]
     hi = idx >> 7
     lo = idx & 127
-    out = jnp.zeros(idx.shape, table.dtype)
+    outs = [jnp.zeros(idx.shape, t.dtype) for t in tables]
     for w in range(rows):
-        row = jnp.broadcast_to(table[w][None, :], (s, LANES))
-        g = jnp.take_along_axis(row, lo, axis=1)
-        out = jnp.where(hi == w, g, out)
-    return out
+        m = hi == w
+        for k, t in enumerate(tables):
+            row = jnp.broadcast_to(t[w][None, :], (s, LANES))
+            g = jnp.take_along_axis(row, lo, axis=1)
+            outs[k] = jnp.where(m, g, outs[k])
+    return outs
 
 
-def _height_inline(x, y, seed):
-    """Analytic worldgen height, identical formula to world/heightmap.py.
+def _height_from_corners(ca, cb, cc, cd, xi, yi, seed):
+    """Exact column height from the block's packed lattice-corner words.
 
-    Inlined (rather than imported) only in the sense that it runs inside the
-    kernel; the math is the same jnp program, so XLA- and Mosaic-compiled
-    values agree except possibly in the last ulp of the transcendental in
-    the 2.6 power (absorbed by the +1 table margin and golden tolerances).
+    Bilinear interpolation of the quantized lattice fields (the world-v2
+    definition, world/heightmap.py) + the analytic top octave — the same
+    jnp program XLA runs in heightmap_grid, so builder and kernel agree to
+    the last ulp modulo instruction-fusion differences (absorbed by the +1
+    pyramid margin and tolerance-based goldens).
     """
-    from ..world.heightmap import height_at
+    tx = (xi & 7).astype(jnp.float32) * jnp.float32(1.0 / LATTICE_SPACING)
+    ty = (yi & 7).astype(jnp.float32) * jnp.float32(1.0 / LATTICE_SPACING)
 
-    return height_at(x, y, seed)
+    def dq(word):
+        return dequant_lattice(word & 0xFFFF, (word >> 16) & 0xFFFF)
+
+    (r00, e00), (r10, e10), (r01, e01), (r11, e11) = dq(ca), dq(cb), dq(cc), dq(cd)
+
+    def bil(v00, v10, v01, v11):
+        top = v00 + tx * (v10 - v00)
+        bot = v01 + tx * (v11 - v01)
+        return top + ty * (bot - top)
+
+    r = bil(r00, r10, r01, r11)
+    e = bil(e00, e10, e01, e11)
+    from ..constants import WORLDGEN_SCALE
+
+    fx = xi.astype(jnp.float32) / WORLDGEN_SCALE
+    fy = yi.astype(jnp.float32) / WORLDGEN_SCALE
+    return height_from_lattice(r, e, fx, fy, seed)
 
 
 # ---------------------------------------------------------------------------
@@ -148,6 +213,7 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (S,128) f32
         n0_ref,  # (S,128) i32 initial normal (0 for fresh rays; resume state)
         hsub_ref, h3_ref,  # pyramid tables (packed; see build_hf_tables)
+        ca_ref, cb_ref, cc_ref, cd_ref,  # lattice corner tables
         px_ref, py_ref, pz_ref, normal_ref, air_ref, packed_ref, done_ref,
     ):
         r0x = scalars_ref[0]
@@ -178,11 +244,9 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
 
         hsub = hsub_ref[:]
         h3 = h3_ref[:]
+        cA, cB, cC, cD = ca_ref[:], cb_ref[:], cc_ref[:], cd_ref[:]
 
         eps = jnp.float32(1e-4)
-
-        def height_of(xi, yi):
-            return _height_inline(xi, yi, seed)
 
         def boundary_dist(p, mul, lp, step_f):
             """Distance along the ray to the next step-aligned boundary."""
@@ -190,10 +254,7 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             return (eps + m) * lp
 
         def classify(px, py, pz):
-            """Voxel coords + safe coarse step size from the pyramid.
-
-            Also returns the 8-block hmax value and region-relative coords
-            (reused by the fine phase's packed 4-block refinement)."""
+            """Safe coarse step size from the pyramid (phase C)."""
             xi = jnp.floor(px).astype(jnp.int32)
             yi = jnp.floor(py).astype(jnp.int32)
             zi = jnp.floor(pz).astype(jnp.int32)
@@ -207,8 +268,7 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             e32 = ((zi >> 5) << 5) >= ((w >> 18) & 511)
             e16 = ((zi >> 4) << 4) >= ((w >> 9) & 511)
             e8 = ((zi >> 3) << 3) >= h8
-            step = jnp.where(e32, 32, jnp.where(e16, 16, jnp.where(e8, 8, 0)))
-            return xi, yi, zi, step, h8, i3, rx, ry
+            return jnp.where(e32, 32, jnp.where(e16, 16, jnp.where(e8, 8, 0)))
 
         def advance(s, lx, ly, lz, move, hit_now, hcol):
             """Shared move + bounds/hit bookkeeping for both loop phases."""
@@ -270,7 +330,7 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
 
         def body_c(s):
             act = (s["done"] == 0) & (s["parked"] == 0)
-            _, _, _, step, _, _, _, _ = classify(s["px"], s["py"], s["pz"])
+            step = classify(s["px"], s["py"], s["pz"])
             # Hysteresis: C hands over anything below an 8-step; F keeps
             # lanes until they reach an 8-step.  Without the band, lanes at
             # the terrain fringe thrash between phases every iteration.
@@ -293,14 +353,26 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
         def body_f(s):
             act = (s["done"] == 0) & (s["parked"] == 0)
             px, py, pz = s["px"], s["py"], s["pz"]
-            xi, yi, zi, step, h8, i3, rx, ry = classify(px, py, pz)
+            xi = jnp.floor(px).astype(jnp.int32)
+            yi = jnp.floor(py).astype(jnp.int32)
+            zi = jnp.floor(pz).astype(jnp.int32)
+            rx = jnp.clip(xi - r0x, 0, ROOT_BLOCK_SIZE - 1)
+            ry = jnp.clip(yi - r0y, 0, ROOT_BLOCK_SIZE - 1)
+            i3 = (ry >> 3) * 32 + (rx >> 3)
+            # One shared-mask gather round serves all six per-block tables:
+            # the pyramid word, the 4-block deltas, and the four terrain-
+            # lattice corners the exact column height interpolates from.
+            w, word, ca, cb, cc, cd = _lut_many((h3, hsub, cA, cB, cC, cD), i3)
+            h8 = w & 511
+            e32 = ((zi >> 5) << 5) >= ((w >> 18) & 511)
+            e16 = ((zi >> 4) << 4) >= ((w >> 9) & 511)
+            e8 = ((zi >> 3) << 3) >= h8
+            step = jnp.where(e32, 32, jnp.where(e16, 16, jnp.where(e8, 8, 0)))
             # Refine with the 4-block level: grazing rays in the terrain
             # fringe advance 4 voxels per iteration instead of marching
             # single columns (the dominant secondary-ray cost).  The 4-block
             # hmax is reconstructed from the 8-block value and a packed
-            # per-quadrant byte delta (one cheap 1024-entry lookup instead
-            # of a 4096-entry one).
-            word = _lut(hsub, i3)
+            # per-quadrant byte delta.
             quad = (((ry >> 2) & 1) << 1) | ((rx >> 2) & 1)
             delta = (word >> (quad << 3)) & 255
             e4 = ((zi >> 2) << 2) >= (h8 - delta)
@@ -311,7 +383,9 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             parked = s["parked"] | (act & (step >= 8)).astype(jnp.int32)
             act = act & (step < 8)
 
-            hcol = jnp.maximum(height_of(xi, yi), 0)
+            hcol = jnp.maximum(
+                _height_from_corners(ca, cb, cc, cd, xi, yi, seed), 0
+            )
             # Entered a solid voxel (z < column height): hit now, with the
             # normal set by the previous move (reference samples after the
             # move, raytrace.comp:137-159).
@@ -472,6 +546,8 @@ def trace_rays_hf(
     out_i32 = jax.ShapeDtypeStruct((grid * tile_rows, LANES), jnp.int32)
     out_u32 = jax.ShapeDtypeStruct((grid * tile_rows, LANES), jnp.uint32)
 
+    table_keys = ("hsub", "h3", "cA", "cB", "cC", "cD")
+
     def run_pass(steps, ox, oy, oz, dxx, dyy, dzz, n0):
         kernel = _make_kernel(tile_rows, steps, seed)
         return pl.pallas_call(
@@ -479,13 +555,13 @@ def trace_rays_hf(
             grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [ray_spec] * 7
-            + [table_spec(tables[k]) for k in ("hsub", "h3")],
+            + [table_spec(tables[k]) for k in table_keys],
             out_specs=[ray_spec] * 7,
             out_shape=[out_shape, out_shape, out_shape, out_i32, out_i32,
                        out_u32, out_i32],
             interpret=interpret,
         )(scalars, ox, oy, oz, dxx, dyy, dzz, n0,
-          tables["hsub"], tables["h3"])
+          *(tables[k] for k in table_keys))
 
     levels = [c for c in caps if 0 < c < max_steps]
     if not levels and active is None:
@@ -622,9 +698,14 @@ def render_gbuffers_hf(
     lr_i = uniforms["lr"].astype(jnp.int32)
 
     def trace(o, d, active=None):
+        # Camera rays are tile-coherent (neighbors share step counts), so
+        # the sort-based cascade only adds sort passes there — measured 3x
+        # slower than a straight run.  Bounce legs (active is not None) have
+        # born-done sky rays and heavy per-ray variance: the cascade wins.
+        use_caps = () if active is None else caps
         return trace_rays_hf(
             tables, o, d, lr_i, max_steps=max_steps, seed=seed,
-            interpret=interpret, caps=caps, active=active,
+            interpret=interpret, caps=use_caps, active=active,
         )
 
     return integrate_gbuffers(

@@ -301,9 +301,9 @@ def _fbm01(x, y, seed):
 # the full 6-octave fractal at d=0.2 (functions.rs:86-93); that wide
 # difference is a smoothed derivative dominated by the low octaves, so the
 # slope of the 2-octave partial field is statistically the same signal
-# (correlation 0.98, matched mean — measured in tests) at 2.1x lower cost.
-# This matters because the Pallas tracer evaluates the height function
-# per column in its inner loop.
+# (correlation 0.985 vs the full recipe, matched mean) at 2.1x lower cost.
+# The slope feeds the lattice erosion field (world/heightmap.py), rebuilt
+# per region move, so its cost is off the tracer's inner loop entirely.
 SLOPE_OCTAVES = 2
 
 

@@ -36,16 +36,29 @@ import numpy as np
 import pytest
 
 
+def _world_tag():
+    """Fingerprint of the world definition, so cached worlds self-invalidate
+    when the terrain function changes (heights sampled at fixed probes)."""
+    from raytrace_tpu.world.heightmap import height_at
+    import jax.numpy as jnp
+
+    xs = jnp.asarray([0, 37, -1290, 511, 40000], jnp.int32)
+    ys = jnp.asarray([0, -89, 777, -40000, 123], jnp.int32)
+    hs = np.asarray(height_at(xs, ys, 0)).tolist()
+    return "h" + "_".join(str(int(v)) for v in hs)
+
+
 @pytest.fixture(scope="session")
 def small_world():
     """A 128^3 generated world region (origin chunk-aligned at -64).
 
     Cached on disk: worldgen on 1 CPU core dominates suite time otherwise.
-    Regenerated automatically if the cached copy mismatches a spot check.
+    The cache key embeds a world fingerprint, so a changed terrain function
+    regenerates instead of silently using a stale world.
     """
     from raytrace_tpu.world.generate import generate_box
 
-    cache = Path(__file__).parent / ".world_cache_v2.npz"
+    cache = Path(__file__).parent / f".world_cache_{_world_tag()}.npz"
     if cache.exists():
         try:
             d = np.load(cache)
@@ -74,7 +87,7 @@ def small_world():
 @pytest.fixture(scope="session")
 def full_world_volume():
     """A full 256^3 generated region (world [-128,128)^3), disk-cached."""
-    cache = Path(__file__).parent / ".world_cache_full_v2.npz"
+    cache = Path(__file__).parent / f".world_cache_full_{_world_tag()}.npz"
     if cache.exists():
         try:
             d = np.load(cache)
