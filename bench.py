@@ -40,7 +40,7 @@ def main():
     from raytrace_tpu.render.camera import Camera
     from raytrace_tpu.render.pipeline import Pipeline, render_frame
 
-    tracer = os.environ.get("RAYTRACE_TPU_TRACER", "hf")
+    tracer = os.environ.get("RAYTRACE_TPU_TRACER", "fused")
     pipeline = Pipeline(width=WIDTH, height=HEIGHT, tracer=tracer)
     cam = Camera(origin=[-30.0, -100.0, 60.0])
     cam.pitch = -0.3

@@ -85,7 +85,7 @@ def config1_single_chunk(tracer="volume"):
     return _emit("1_single_chunk_primary", 512 * 512 / dt / 1e6, "Mrays/s")
 
 
-def config2_world_1080p(tracer="hf"):
+def config2_world_1080p(tracer="fused"):
     from ..ops.trace_pallas import build_hf_tables, render_gbuffers_hf
 
     lr = jnp.zeros(3, jnp.int32)
@@ -113,7 +113,7 @@ def config2_world_1080p(tracer="hf"):
     )
 
 
-def config3_flythrough(tracer="hf", frames=60):
+def config3_flythrough(tracer="fused", frames=60):
     pipeline = Pipeline(width=1024, height=1024, tracer=tracer)
     cam = Camera(origin=[-30.0, -100.0, 60.0])
     cam.pitch = -0.1
@@ -130,7 +130,7 @@ def config3_flythrough(tracer="hf", frames=60):
     )
 
 
-def config4_capture(tracer="hf", views=30):
+def config4_capture(tracer="fused", views=30):
     from .capture import run
 
     n, dt = run(width=512, height=512, limit=views, save=False)
@@ -140,7 +140,7 @@ def config4_capture(tracer="hf", views=30):
     )
 
 
-def config5_tiled_4k(tracer="hf"):
+def config5_tiled_4k(tracer="fused"):
     from ..ops.trace_jax import fuse_volume
     from ..parallel.tiles import make_tile_mesh, render_frame_tiled
     from ..world.generate import generate_box
@@ -180,7 +180,7 @@ CONFIGS = {
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--configs", default="1,2,3,4")
-    ap.add_argument("--tracer", default="hf")
+    ap.add_argument("--tracer", default="fused")
     ns = ap.parse_args()
     for c in ns.configs.split(","):
         CONFIGS[c.strip()](tracer=ns.tracer)

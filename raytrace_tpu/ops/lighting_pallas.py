@@ -79,7 +79,7 @@ def _mat_code(xi, yi, zi, seed):
     return jnp.where(band == 2, 1, jnp.where(band == 5, 2, 3)).astype(jnp.int32)
 
 
-def _make_kernel(tile_rows: int, max_steps: int, seed: int):
+def _make_kernel(tile_rows: int, max_steps: int, seed: int, unified: bool = False):
     S = tile_rows
 
     def kernel(
@@ -127,6 +127,11 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
                     jnp.zeros((S, LANES), jnp.float32) + sun[2])
         sj2 = norm3(sun[0] + n2r * 0.05, sun[1] + n2g * 0.05,
                     jnp.zeros((S, LANES), jnp.float32) + sun[2])
+        # Diffuse sphere points are pure functions of the noise too: the
+        # transcendentals hoist out of the loop; only the (cheap) normal
+        # displacement + renormalization stays in apply_transition.
+        sp1 = shading.sphere_point(jnp, n1r, n1g)
+        sp2 = shading.sphere_point(jnp, n2r, n2g)
 
         def classify(px, py, pz):
             xi = jnp.floor(px).astype(jnp.int32)
@@ -194,6 +199,12 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             solid, matc = hit_info(px, py, pz)
             completed_air = live & oob
             completed_hit = live & ~oob & solid
+            return apply_transition(s, completed_air, completed_hit, matc)
+
+        def apply_transition(s, completed_air, completed_hit, matc):
+            """Start the next leg for rays whose current ray completed."""
+            leg = s["leg"]
+            px, py, pz = s["px"], s["py"], s["pz"]
             completed = completed_air | completed_hit
 
             # Nudged restart point for hit completions (raytrace.comp:166-180).
@@ -244,8 +255,8 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             starts3 = c2h
             starts4 = completed & is3
             starting = starts1 | starts2 | starts3 | starts4
-            dfx, dfy, dfz = shading.diffuse_direction(jnp, n1r, n1g, pn)
-            gfx, gfy, gfz = shading.diffuse_direction(jnp, n2r, n2g, nn)
+            dfx, dfy, dfz = shading.diffuse_from_sphere(jnp, sp1, pn)
+            gfx, gfy, gfz = shading.diffuse_from_sphere(jnp, sp2, nn)
             npx = jnp.where(starting, qx, px)
             npy = jnp.where(starting, qy, py)
             npz = jnp.where(starting, qz, pz)
@@ -371,11 +382,72 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             s = jax.lax.while_loop(cond_phase, body_f, s)
             return s
 
-        s = jax.lax.while_loop(outer_cond, outer_body, state)
-        # One final transition so completions from the last phase pass are
-        # not lost when every lane is otherwise done (the loop exits before
-        # applying them).
-        s = transition(s)
+        def body_u(s):
+            """Unified body: detect/transition + classify + move, every
+            iteration, for every live lane — no phases, no parking, no idle
+            lanes waiting for the other phase to drain."""
+            live = s["leg"] < 5
+            px, py, pz = s["px"], s["py"], s["pz"]
+            xi = jnp.floor(px).astype(jnp.int32)
+            yi = jnp.floor(py).astype(jnp.int32)
+            zi = jnp.floor(pz).astype(jnp.int32)
+            rx = jnp.clip(xi - r0x, 0, ROOT_BLOCK_SIZE - 1)
+            ry = jnp.clip(yi - r0y, 0, ROOT_BLOCK_SIZE - 1)
+            i3 = (ry >> 3) * 32 + (rx >> 3)
+            w, word, ca, cb, cc, cd = _lut_many((h3, hsub, cA, cB, cC, cD), i3)
+            h8 = w & 511
+            e32 = ((zi >> 5) << 5) >= ((w >> 18) & 511)
+            e16 = ((zi >> 4) << 4) >= ((w >> 9) & 511)
+            e8 = ((zi >> 3) << 3) >= h8
+            step = jnp.where(e32, 32, jnp.where(e16, 16, jnp.where(e8, 8, 0)))
+            quad = (((ry >> 2) & 1) << 1) | ((rx >> 2) & 1)
+            delta = (word >> (quad << 3)) & 255
+            e4 = ((zi >> 2) << 2) >= (h8 - delta)
+            step = jnp.where(step == 0, jnp.where(e4, 4, 0), step)
+            fine = step == 0
+            hcol = jnp.maximum(
+                _height_from_corners(ca, cb, cc, cd, xi, yi, seed), 0
+            )
+
+            oob = oob_of(px, py, pz)
+            completed_air = live & oob
+            completed_hit = live & ~oob & (zi < hcol)
+            completed = completed_air | completed_hit
+            matc = _mat_code(xi, yi, zi, seed)
+            s = apply_transition(s, completed_air, completed_hit, matc)
+
+            # Transitioned lanes classify at their new origin next
+            # iteration; the rest move to the next boundary now.
+            act = live & ~completed
+            step_f = jnp.maximum(step, 1).astype(jnp.float32)
+            lxc = boundary_dist(px, s["dx"], step_f)
+            lyc = boundary_dist(py, s["dy"], step_f)
+            lzc = boundary_dist(pz, s["dz"], step_f)
+            lxf = boundary_dist(px, s["dx"], jnp.float32(1.0))
+            lyf = boundary_dist(py, s["dy"], jnp.float32(1.0))
+            ztop = hcol.astype(jnp.float32)
+            lpz = jnp.float32(1.0) / jnp.abs(s["dz"])
+            lzf = jnp.where(
+                (s["dz"] < 0) & (pz >= ztop),
+                (eps + (pz - ztop)) * lpz,
+                jnp.float32(jnp.inf),
+            )
+            lx = jnp.where(fine, lxf, lxc)
+            ly = jnp.where(fine, lyf, lyc)
+            lz = jnp.where(fine, lzf, lzc)
+            return move(s, lx, ly, lz, act)
+
+        if unified:
+            s = jax.lax.while_loop(outer_cond, body_u, state)
+            # Final stateless transition: completions from the last
+            # iteration's move are applied here.
+            s = transition(s)
+        else:
+            s = jax.lax.while_loop(outer_cond, outer_body, state)
+            # One final transition so completions from the last phase pass
+            # are not lost when every lane is otherwise done (the loop exits
+            # before applying them).
+            s = transition(s)
 
         opx_ref[:] = s["px"]
         opy_ref[:] = s["py"]
@@ -399,6 +471,7 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
     jax.jit,
     static_argnames=(
         "width", "height", "max_steps", "seed", "tile_rows", "interpret", "caps",
+        "unified",
     ),
 )
 def render_gbuffers_fused(
@@ -412,6 +485,7 @@ def render_gbuffers_fused(
     tile_rows: int = 16,
     interpret: bool | None = None,
     caps: tuple = FUSED_CAPS,
+    unified: bool = True,
 ) -> dict[str, jax.Array]:
     """Full G-buffer pass through the fused path kernel + compaction cascade.
 
@@ -502,7 +576,7 @@ def render_gbuffers_fused(
     table_keys = ("hsub", "h3", "cA", "cB", "cC", "cD")
 
     def run_pass(steps, *ops):
-        kernel = _make_kernel(tile_rows, steps, seed)
+        kernel = _make_kernel(tile_rows, steps, seed, unified)
         return pl.pallas_call(
             kernel,
             grid=(grid,),

@@ -81,11 +81,12 @@ def filmic_curve(xp, x):
     )
 
 
-def diffuse_direction(xp, noise_r, noise_g, normal_id):
-    """Cosine-ish bounce direction (raytrace.comp:189-212).
+def sphere_point(xp, noise_r, noise_g):
+    """Random unit-sphere point from two noise values (raytrace.comp:189-203).
 
-    Random point on the unit sphere from two noise values, displaced by the
-    hit face's outward unit normal, then normalized.
+    A pure function of the per-pixel noise — callers with iteration loops
+    hoist this (the transcendentals) and keep only diffuse_from_sphere in
+    the loop body.
     """
     pi = 3.141592653589793
     theta1 = pi * 2.0 * noise_r
@@ -94,16 +95,27 @@ def diffuse_direction(xp, noise_r, noise_g, normal_id):
     # and sin(arccos(x)) >= 0 on [0, pi], so this is exact).
     cos_t2 = xp.clip(1.0 - 2.0 * noise_g, -1.0, 1.0)
     sin_t2 = xp.sqrt(xp.maximum(1.0 - cos_t2 * cos_t2, 0.0))
-    dx = xp.sin(theta1) * sin_t2
-    dy = xp.cos(theta1) * sin_t2
-    dz = cos_t2
+    return xp.sin(theta1) * sin_t2, xp.cos(theta1) * sin_t2, cos_t2
+
+
+def diffuse_from_sphere(xp, sp, normal_id):
+    """Sphere point + hit face's outward normal, normalized (:204-212)."""
     nx, ny, nz = face_normal_vector(xp, normal_id)
-    dx = dx + nx
-    dy = dy + ny
-    dz = dz + nz
+    dx = sp[0] + nx
+    dy = sp[1] + ny
+    dz = sp[2] + nz
     norm = xp.sqrt(dx * dx + dy * dy + dz * dz)
     norm = xp.maximum(norm, 1e-20)
     return dx / norm, dy / norm, dz / norm
+
+
+def diffuse_direction(xp, noise_r, noise_g, normal_id):
+    """Cosine-ish bounce direction (raytrace.comp:189-212).
+
+    Random point on the unit sphere from two noise values, displaced by the
+    hit face's outward unit normal, then normalized.
+    """
+    return diffuse_from_sphere(xp, sphere_point(xp, noise_r, noise_g), normal_id)
 
 
 def face_normal_vector(xp, normal_id):

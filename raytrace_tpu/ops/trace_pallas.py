@@ -205,7 +205,7 @@ def _height_from_corners(ca, cb, cc, cd, xi, yi, seed):
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(tile_rows: int, max_steps: int, seed: int):
+def _make_kernel(tile_rows: int, max_steps: int, seed: int, unified: bool = False):
     S = tile_rows
 
     def kernel(
@@ -378,10 +378,13 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             e4 = ((zi >> 2) << 2) >= (h8 - delta)
             step = jnp.where(step == 0, jnp.where(e4, 4, 0), step)
             fine = step == 0
-            # Hysteresis: lanes reaching a >=8 step park for phase C;
-            # step-4 lanes keep moving here with coarse steps.
-            parked = s["parked"] | (act & (step >= 8)).astype(jnp.int32)
-            act = act & (step < 8)
+            if unified:
+                parked = s["parked"]
+            else:
+                # Hysteresis: lanes reaching a >=8 step park for phase C;
+                # step-4 lanes keep moving here with coarse steps.
+                parked = s["parked"] | (act & (step >= 8)).astype(jnp.int32)
+                act = act & (step < 8)
 
             hcol = jnp.maximum(
                 _height_from_corners(ca, cb, cc, cd, xi, yi, seed), 0
@@ -424,7 +427,15 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int):
             s = jax.lax.while_loop(cond_f, body_f, s)
             return s
 
-        s = jax.lax.while_loop(outer_cond, outer_body, state)
+        if unified:
+            # Single-loop variant: every iteration runs the full fine-phase
+            # body (the lattice-table height made it cheap enough), so lanes
+            # in coarse space and lanes marching columns progress TOGETHER —
+            # no phase parking, no idle lanes waiting for the other phase.
+            # body_f with parked pinned to done handles every step size.
+            s = jax.lax.while_loop(cond_f, body_f, dict(state, parked=state["done"]))
+        else:
+            s = jax.lax.while_loop(outer_cond, outer_body, state)
 
         px_ref[:] = s["px"]
         py_ref[:] = s["py"]
@@ -475,7 +486,8 @@ COMPACT_CAPS = (16, 48, 160)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_steps", "seed", "tile_rows", "interpret", "caps")
+    jax.jit,
+    static_argnames=("max_steps", "seed", "tile_rows", "interpret", "caps", "unified"),
 )
 def trace_rays_hf(
     tables: dict,
@@ -488,6 +500,7 @@ def trace_rays_hf(
     interpret: bool | None = None,
     caps: tuple = COMPACT_CAPS,
     active: jax.Array | None = None,
+    unified: bool = False,
 ) -> dict[str, jax.Array]:
     """Heightfield-accelerated trace; drop-in for trace_jax.trace_rays.
 
@@ -549,7 +562,7 @@ def trace_rays_hf(
     table_keys = ("hsub", "h3", "cA", "cB", "cC", "cD")
 
     def run_pass(steps, ox, oy, oz, dxx, dyy, dzz, n0):
-        kernel = _make_kernel(tile_rows, steps, seed)
+        kernel = _make_kernel(tile_rows, steps, seed, unified)
         return pl.pallas_call(
             kernel,
             grid=(grid,),

@@ -89,7 +89,8 @@ def render_frame(
         from ..ops.lighting_pallas import render_gbuffers_fused
 
         gb = render_gbuffers_fused(
-            world, blue_noise, uniforms, width, height, max_steps, seed
+            world, blue_noise, uniforms, width, height, max_steps, seed,
+            unified=bool(int(os.environ.get("RAYTRACE_TPU_UNIFIED", "1"))),
         )
     elif tracer == "hf":
         from ..ops.trace_pallas import render_gbuffers_hf
@@ -119,7 +120,7 @@ class Pipeline:
         max_steps: int = MAX_TRACE_STEPS,
         source: str = "device",
         storage=None,
-        tracer: str = "hf",
+        tracer: str = "fused",
         preloaded_volume=None,
         validate: bool | None = None,
     ):
