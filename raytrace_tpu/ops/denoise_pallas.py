@@ -1,0 +1,161 @@
+"""Pallas TPU denoiser: VMEM-resident à-trous passes.
+
+The XLA formulation (ops/denoise.py) re-reads the padded lighting image from
+HBM for every one of 33 taps x 6 passes (~2.4 GB of HBM traffic per frame,
+measured ~10.5 ms at 1024²).  A 1024² channel-planar padded plane is only
+~5 MB — lighting + guides fit in VMEM whole.  Each pass here is one
+pallas_call whose grid walks 8-row bands: the padded inputs are resident
+VMEM blocks (index_map pinned to (0, 0)), each band dynamically loads its
+(8 + 2*PAD)-row window once, and the 33 taps become static shifted slices
+of that window — pure VPU arithmetic, no HBM traffic inside a pass.
+
+The band height keeps Mosaic's unrolled code small: ops span (8, W+96)
+vectors, so a pass body is a few thousand vector instructions instead of
+the few million a whole-image kernel would unroll to (measured: the
+whole-image variant did not finish compiling in 15 minutes).
+
+Semantics are identical to ops/denoise.bilateral_denoise (reference
+shaders/glsl/bilateral_denoise.comp + the 1,2,4,8,8,16 schedule of
+pipeline.rs:103-115): edge-clamped sampling comes from XLA edge-padding
+between passes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import DENOISE_SIZES, NORMAL_SKY
+from .denoise import _CENTER_WEIGHT, _MAX_REACH, _TAPS
+
+# Ring width: the largest pass reach (3 * 16).
+PAD = _MAX_REACH * max(DENOISE_SIZES)
+BAND = 32  # rows per grid step (amortizes the halo window copy ~4x)
+
+# VMEM budget guard: beyond ~2 M pixels the resident padded planes outgrow
+# VMEM; callers fall back to the XLA chain.
+MAX_VMEM_PIXELS = 1_400_000
+
+
+def _make_pass_kernel(h: int, w: int, size: int):
+    # Row window: 8-row-aligned dynamic start (Mosaic requires tile-aligned
+    # dynamic vector loads) covering the band plus the pass's ±3*size reach.
+    pre = -(-(_MAX_REACH * size) // 8) * 8
+    win = BAND + 2 * pre
+
+    def kernel(l0p, l1p, l2p, dpp, npp, o0, o1, o2):
+        """One à-trous pass for one BAND-row band.
+
+        l*p/dpp/npp: whole padded planes, resident in VMEM; o*: (BAND, w)
+        output blocks.  The band's input window is loaded once (full padded
+        width, aligned rows).  Column shifts (lane permutes, the expensive
+        slice axis) are materialized once per distinct dx — 3 views x 5
+        planes instead of one 2-D slice per tap x plane; each tap then
+        takes a cheap sublane row slice of its dx view.
+        """
+        i = pl.program_id(0)
+        # Band's first center row sits at padded row PAD + i*BAND; the
+        # window starts `pre` rows above it (PAD - pre is an 8-multiple).
+        rows = pl.ds(i * BAND + (PAD - pre), win)
+
+        planes = [l0p[rows, :], l1p[rows, :], l2p[rows, :],
+                  dpp[rows, :], npp[rows, :]]
+
+        dxs = sorted({dx for dx, _, _ in _TAPS} | {0})
+        views = [
+            {dx: p[:, PAD + dx * size : PAD + dx * size + w] for dx in dxs}
+            for p in planes
+        ]
+        v0, v1, v2, vd, vn = views
+
+        m = pre  # center row offset inside the window
+        dc = vd[0][m : m + BAND]
+        nc = vn[0][m : m + BAND]
+        sky = nc >= NORMAL_SKY
+
+        c0v = v0[0][m : m + BAND]
+        c1v = v1[0][m : m + BAND]
+        c2v = v2[0][m : m + BAND]
+        total_w = jnp.full((BAND, w), _CENTER_WEIGHT, jnp.float32)
+        a0 = c0v * _CENTER_WEIGHT
+        a1 = c1v * _CENTER_WEIGHT
+        a2 = c2v * _CENTER_WEIGHT
+        for dx, dy, base_w in _TAPS:
+            oy = m + dy * size
+            rs = slice(oy, oy + BAND)
+            depth_diff = 4.0 * jnp.abs(dc - vd[dx][rs])
+            wgt = base_w / (
+                depth_diff + jnp.where(vn[dx][rs] == nc, 1.0, 11.0)
+            )
+            total_w = total_w + wgt
+            a0 = a0 + v0[dx][rs] * wgt
+            a1 = a1 + v1[dx][rs] * wgt
+            a2 = a2 + v2[dx][rs] * wgt
+        inv = jnp.float32(1.0) / total_w
+        o0[:] = jnp.where(sky, c0v, a0 * inv)
+        o1[:] = jnp.where(sky, c1v, a1 * inv)
+        o2[:] = jnp.where(sky, c2v, a2 * inv)
+
+    return kernel
+
+
+def _pallas_pass(l0, l1, l2, dp, np_, h, w, size, interpret):
+    """One pass: unpadded (h, w) planes in, (h, w) planes out."""
+    cfg = [(PAD, PAD), (PAD, PAD)]
+    args = [jnp.pad(x, cfg, mode="edge") for x in (l0, l1, l2)] + [dp, np_]
+    whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    band = pl.BlockSpec((BAND, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_pass_kernel(h, w, size),
+        grid=(h // BAND,),
+        in_specs=[whole] * 5,
+        out_specs=[band] * 3,
+        out_shape=[jax.ShapeDtypeStruct((h, w), jnp.float32)] * 3,
+        interpret=interpret,
+    )(*args)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def denoise_chain_pallas(
+    lighting: jax.Array,
+    depth: jax.Array,
+    normal: jax.Array,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Drop-in for ops/denoise.denoise_chain ((H, W, 3) in and out)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    h0, w = lighting.shape[:2]
+
+    # Pad rows to a BAND multiple (edge rows only feed discarded bands).
+    h = -(-h0 // BAND) * BAND
+    if h != h0:
+        lighting = jnp.pad(lighting, [(0, h - h0), (0, 0), (0, 0)], mode="edge")
+        depth = jnp.pad(depth, [(0, h - h0), (0, 0)], mode="edge")
+        normal = jnp.pad(normal, [(0, h - h0), (0, 0)], mode="edge")
+
+    planar = lighting.transpose(2, 0, 1)
+    l0, l1, l2 = planar[0], planar[1], planar[2]
+    cfg = [(PAD, PAD), (PAD, PAD)]
+    # Guides are pass-invariant: pad once.
+    dp = jnp.pad(depth.astype(jnp.float32) / 256.0, cfg, mode="edge")
+    np_ = jnp.pad(normal.astype(jnp.int32), cfg, mode="edge")
+
+    for size in DENOISE_SIZES:
+        if h != h0:
+            # The BAND-alignment rows must stay clones of the true last row
+            # (edge-clamp semantics) — re-replicate between passes, else
+            # they evolve independently and bleed back via the next pass.
+            l0, l1, l2 = (
+                jnp.pad(x[:h0], [(0, h - h0), (0, 0)], mode="edge")
+                for x in (l0, l1, l2)
+            )
+        l0, l1, l2 = _pallas_pass(l0, l1, l2, dp, np_, h, w, size, interpret)
+
+    out = jnp.stack([l0, l1, l2], axis=-1)
+    return out[:h0]

@@ -62,7 +62,10 @@ LANES = 128
 
 # Iteration caps of the fused cascade (see trace_pallas.COMPACT_CAPS): the
 # whole 5-leg path shares one budget, so caps cover total path length.
-FUSED_CAPS = (48, 192)
+# Measured at 1024² (unified kernel, G-buffers only): () 52.6 ms,
+# (32,) 53.9, (48,) 30.1, (64,) 28.1, (48,192) 36.5 — one re-partition at
+# 64 iterations is the sweet spot.
+FUSED_CAPS = (64,)
 
 
 def _mat_code(xi, yi, zi, seed):
@@ -79,7 +82,13 @@ def _mat_code(xi, yi, zi, seed):
     return jnp.where(band == 2, 1, jnp.where(band == 5, 2, 3)).astype(jnp.int32)
 
 
-def _make_kernel(tile_rows: int, max_steps: int, seed: int, unified: bool = False):
+def _make_kernel(
+    tile_rows: int,
+    max_steps: int,
+    seed: int,
+    unified: bool = False,
+    unroll: int = 1,
+):
     S = tile_rows
 
     def kernel(
@@ -304,9 +313,7 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int, unified: bool = Fals
             return (s["leg"] < 5) & (s["parked"] == 0)
 
         def cond_phase(s):
-            return (s["i"] < max_steps) & (
-                jnp.sum(live_of(s).astype(jnp.int32)) > 0
-            )
+            return (s["i"] < max_steps) & jnp.any(live_of(s))
 
         def body_c(s):
             act = live_of(s)
@@ -371,9 +378,7 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int, unified: bool = Fals
             return move(s, lx, ly, lz, act)
 
         def outer_cond(s):
-            return (s["i"] < max_steps) & (
-                jnp.sum((s["leg"] < 5).astype(jnp.int32)) > 0
-            )
+            return (s["i"] < max_steps) & jnp.any(s["leg"] < 5)
 
         def outer_body(s):
             s = transition(s)
@@ -438,7 +443,15 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int, unified: bool = Fals
             return move(s, lx, ly, lz, act)
 
         if unified:
-            s = jax.lax.while_loop(outer_cond, body_u, state)
+            # unroll > 1 runs the body N times per loop trip: the exit test
+            # (an all-lane reduction) amortizes over N iterations; done
+            # lanes are masked no-ops so semantics are unchanged.
+            def body_un(s):
+                for _ in range(unroll):
+                    s = body_u(s)
+                return s
+
+            s = jax.lax.while_loop(outer_cond, body_un, state)
             # Final stateless transition: completions from the last
             # iteration's move are applied here.
             s = transition(s)
@@ -471,7 +484,7 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int, unified: bool = Fals
     jax.jit,
     static_argnames=(
         "width", "height", "max_steps", "seed", "tile_rows", "interpret", "caps",
-        "unified",
+        "unified", "unroll", "rows",
     ),
 )
 def render_gbuffers_fused(
@@ -486,6 +499,9 @@ def render_gbuffers_fused(
     interpret: bool | None = None,
     caps: tuple = FUSED_CAPS,
     unified: bool = True,
+    unroll: int = 1,
+    row0=0,
+    rows: int | None = None,
 ) -> dict[str, jax.Array]:
     """Full G-buffer pass through the fused path kernel + compaction cascade.
 
@@ -494,23 +510,27 @@ def render_gbuffers_fused(
     each level the not-yet-done rays are stably sorted to the front so
     straggler paths stop holding whole tiles hostage (see
     trace_pallas.COMPACT_CAPS for the rationale and measurements).
+    `row0`/`rows` select a band of image rows (multi-chip tile split);
+    row0 may be traced (lax.axis_index), rows must be static.
     """
     from .trace_jax import camera_rays
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    origin, ray_dir = camera_rays(uniforms, width, height)
+    band_h = height if rows is None else rows
+    origin, ray_dir = camera_rays(uniforms, width, height, row0, rows)
     nh, nw_ = blue_noise.shape[0], blue_noise.shape[1]
     seed_u = uniforms["seed"].astype(jnp.int32)
     off_x = jnp.floor(blue_noise[seed_u // nw_ % nh, seed_u % nw_, 0] * 255.0 + 0.5).astype(jnp.int32)
     off_y = jnp.floor(blue_noise[seed_u // nw_ % nh, seed_u % nw_, 1] * 255.0 + 0.5).astype(jnp.int32)
+    off_y = off_y + jnp.asarray(row0, jnp.int32)  # band offset rides the roll
     base = jnp.roll(blue_noise, (-off_y, -off_x), (0, 1))
-    reps_y = -(-height // nh)
+    reps_y = -(-band_h // nh)
     reps_x = -(-width // nw_)
-    noise1 = jnp.tile(base, (reps_y, reps_x, 1))[:height, :width]
+    noise1 = jnp.tile(base, (reps_y, reps_x, 1))[:band_h, :width]
     base2 = jnp.roll(blue_noise, (-off_y - 2, -off_x - 2), (0, 1))
-    noise2 = jnp.tile(base2, (reps_y, reps_x, 1))[:height, :width]
+    noise2 = jnp.tile(base2, (reps_y, reps_x, 1))[:band_h, :width]
 
     sun = shading.sun_direction(jnp, uniforms["sun_angle"])
     sunlight = shading.sun_color(jnp, sun)
@@ -524,7 +544,7 @@ def render_gbuffers_fused(
          jnp.int32(0), jnp.int32(0), jnp.int32(0)]
     )
 
-    n = width * height
+    n = width * band_h
     per_tile = tile_rows * LANES
     n_pad = -(-n // per_tile) * per_tile
     grid = n_pad // per_tile
@@ -576,7 +596,7 @@ def render_gbuffers_fused(
     table_keys = ("hsub", "h3", "cA", "cB", "cC", "cD")
 
     def run_pass(steps, *ops):
-        kernel = _make_kernel(tile_rows, steps, seed, unified)
+        kernel = _make_kernel(tile_rows, steps, seed, unified, unroll)
         return pl.pallas_call(
             kernel,
             grid=(grid,),
@@ -618,7 +638,7 @@ def render_gbuffers_fused(
     cmeta, cpd = rsort(cidx, (cmeta, cpd))
 
     def unflat(x):
-        return x.reshape(n_pad)[:n].reshape(height, width)
+        return x.reshape(n_pad)[:n].reshape(band_h, width)
 
     meta = unflat(cmeta)
     pdist = unflat(cpd)

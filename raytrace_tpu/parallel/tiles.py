@@ -114,8 +114,8 @@ def render_frame_tiled(
     """Full frame over a 1-D device mesh; returns (H, W, 3) float32.
 
     `world` is the fused u32 volume for tracer="volume" or the
-    build_hf_tables dict for tracer="hf" (the Pallas hot path; tables are
-    replicated — they are ~10 KB)."""
+    build_hf_tables dict for tracer="hf"/"fused" (the Pallas hot paths;
+    tables are replicated — they are ~10 KB)."""
     n = mesh.shape[AXIS]
     assert height % n == 0, (height, n)
     band = height // n
@@ -128,7 +128,14 @@ def render_frame_tiled(
     def shard_fn(vol, bn, uni):
         i = jax.lax.axis_index(AXIS)
         row0 = i * band
-        if tracer == "hf":
+        if tracer == "fused":
+            from ..ops.lighting_pallas import render_gbuffers_fused
+
+            gb = render_gbuffers_fused(
+                vol, bn, uni, width, height, max_steps,
+                row0=row0, rows=band,
+            )
+        elif tracer == "hf":
             from ..ops.trace_pallas import render_gbuffers_hf
 
             gb = render_gbuffers_hf(

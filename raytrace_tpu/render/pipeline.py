@@ -100,7 +100,13 @@ def render_frame(
         )
     else:
         gb = render_gbuffers(world, blue_noise, uniforms, width, height, max_steps)
-    denoised = denoise_chain(gb["lighting"], gb["depth"], gb["normal"])
+    from ..ops.denoise_pallas import MAX_VMEM_PIXELS, denoise_chain_pallas
+
+    if width * height <= MAX_VMEM_PIXELS:
+        # VMEM-resident 6-pass Pallas denoiser (~7x the XLA chain at 1024²).
+        denoised = denoise_chain_pallas(gb["lighting"], gb["depth"], gb["normal"])
+    else:
+        denoised = denoise_chain(gb["lighting"], gb["depth"], gb["normal"])
     frame = finalize_frame(
         gb["albedo"], gb["emission"], gb["fog"], denoised, gb["depth"], blue_noise
     )

@@ -99,3 +99,19 @@ def test_finalize_flips_vertically():
         finalize_frame(*map(jnp.asarray, (albedo, z, z, lighting, depth, bn)))
     )
     assert out[-1].mean() > out[0].mean()  # ends up at the bottom
+
+
+def test_pallas_chain_matches_xla_chain():
+    """The VMEM-resident Pallas 6-pass chain == the XLA chain (interpret)."""
+    from raytrace_tpu.ops.denoise_pallas import denoise_chain_pallas
+
+    lighting, depth, normal = _fake_gbuffers(h=48, w=40, seed=3)
+    want = np.asarray(
+        denoise_chain(jnp.asarray(lighting), jnp.asarray(depth), jnp.asarray(normal))
+    )
+    got = np.asarray(
+        denoise_chain_pallas(
+            jnp.asarray(lighting), jnp.asarray(depth), jnp.asarray(normal)
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=3e-5)

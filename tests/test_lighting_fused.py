@@ -61,3 +61,24 @@ def test_primary_gbuffers_match(frame_pair):
     )
     assert d.max() <= 1
     np.testing.assert_allclose(staged["fog"], fused["fog"], atol=1e-6)
+
+
+def test_unroll_invariance(frame_pair):
+    """unroll=2 must produce bit-identical G-buffers (masked no-op bodies)."""
+    W = H = 64
+    bn = get_blue_noise_f32()
+    pitch = -0.3
+    u = FrameUniforms(
+        origin=(-30.0, -100.0, 60.0),
+        sun_angle=0.6,
+        forward=(0.0, np.cos(pitch), np.sin(pitch)),
+        up=(0.0, -0.4 * np.sin(pitch), 0.4 * np.cos(pitch)),
+        right=(0.4, 0.0, 0.0),
+    ).as_device_dict()
+    tables = build_hf_tables(jnp.zeros(3, jnp.int32), seed=0)
+    _, fused = frame_pair
+    rolled = render_gbuffers_fused(
+        tables, bn, u, W, H, max_steps=2048, seed=0, interpret=True, unroll=2
+    )
+    for k in ("lighting", "depth", "normal", "albedo", "fog"):
+        np.testing.assert_array_equal(np.asarray(rolled[k]), fused[k])

@@ -96,3 +96,30 @@ def test_tiled_frame_hf_tracer_matches_single_device():
     )
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_tiled_frame_fused_tracer_matches_single_device():
+    """The fused whole-path kernel under shard_map (band split) must equal
+    the same tracer run single-device — banded camera rays, banded
+    blue-noise roll, and the shard-local compaction cascade are exact."""
+    from raytrace_tpu.ops.lighting_pallas import render_gbuffers_fused
+    from raytrace_tpu.ops.trace_pallas import build_hf_tables
+
+    bn = jnp.asarray(get_blue_noise_f32())
+    uni = _uniforms()
+    W, H = 64, 64
+    steps = 512
+    tables = build_hf_tables(jnp.zeros(3, jnp.int32), seed=0)
+
+    gb = render_gbuffers_fused(tables, bn, uni, W, H, steps)
+    denoised = denoise_chain(gb["lighting"], gb["depth"], gb["normal"])
+    want = np.asarray(
+        finalize_frame(gb["albedo"], gb["emission"], gb["fog"], denoised, gb["depth"], bn)
+    )
+
+    mesh = make_tile_mesh(jax.devices()[:8])
+    got = np.asarray(
+        render_frame_tiled(tables, bn, uni, W, H, mesh, steps, tracer="fused")
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5)
