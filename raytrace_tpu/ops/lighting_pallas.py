@@ -88,6 +88,7 @@ def _make_kernel(
     seed: int,
     unified: bool = False,
     unroll: int = 1,
+    lazy_t: bool = False,
 ):
     S = tile_rows
 
@@ -387,10 +388,17 @@ def _make_kernel(
             s = jax.lax.while_loop(cond_phase, body_f, s)
             return s
 
-        def body_u(s):
+        def body_u(s, do_transition=True):
             """Unified body: detect/transition + classify + move, every
             iteration, for every live lane — no phases, no parking, no idle
-            lanes waiting for the other phase to drain."""
+            lanes waiting for the other phase to drain.
+
+            do_transition=False (lazy transitions) skips the leg-transition
+            block: completed lanes simply idle (act masks them out) until a
+            transitioning sub-iteration re-detects the completion
+            statelessly and starts their next leg.  Saves the transition's
+            ~130 ops on skipped sub-iterations for ~1 idle iteration per
+            leg."""
             live = s["leg"] < 5
             px, py, pz = s["px"], s["py"], s["pz"]
             xi = jnp.floor(px).astype(jnp.int32)
@@ -418,8 +426,9 @@ def _make_kernel(
             completed_air = live & oob
             completed_hit = live & ~oob & (zi < hcol)
             completed = completed_air | completed_hit
-            matc = _mat_code(xi, yi, zi, seed)
-            s = apply_transition(s, completed_air, completed_hit, matc)
+            if do_transition:
+                matc = _mat_code(xi, yi, zi, seed)
+                s = apply_transition(s, completed_air, completed_hit, matc)
 
             # Transitioned lanes classify at their new origin next
             # iteration; the rest move to the next boundary now.
@@ -447,8 +456,10 @@ def _make_kernel(
             # (an all-lane reduction) amortizes over N iterations; done
             # lanes are masked no-ops so semantics are unchanged.
             def body_un(s):
-                for _ in range(unroll):
-                    s = body_u(s)
+                for j in range(unroll):
+                    s = body_u(
+                        s, do_transition=(not lazy_t) or j == unroll - 1
+                    )
                 return s
 
             s = jax.lax.while_loop(outer_cond, body_un, state)
@@ -484,7 +495,7 @@ def _make_kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "max_steps", "seed", "tile_rows", "interpret", "caps",
-        "unified", "unroll", "rows",
+        "unified", "unroll", "rows", "lazy_t",
     ),
 )
 def render_gbuffers_fused(
@@ -499,7 +510,8 @@ def render_gbuffers_fused(
     interpret: bool | None = None,
     caps: tuple = FUSED_CAPS,
     unified: bool = True,
-    unroll: int = 1,
+    unroll: int = 2,
+    lazy_t: bool = False,
     row0=0,
     rows: int | None = None,
 ) -> dict[str, jax.Array]:
@@ -596,7 +608,7 @@ def render_gbuffers_fused(
     table_keys = ("hsub", "h3", "cA", "cB", "cC", "cD")
 
     def run_pass(steps, *ops):
-        kernel = _make_kernel(tile_rows, steps, seed, unified, unroll)
+        kernel = _make_kernel(tile_rows, steps, seed, unified, unroll, lazy_t)
         return pl.pallas_call(
             kernel,
             grid=(grid,),
