@@ -41,13 +41,13 @@ BAND = 32  # rows per grid step (amortizes the halo window copy ~4x)
 MAX_VMEM_PIXELS = 1_400_000
 
 
-def _make_pass_kernel(h: int, w: int, size: int):
+def _make_pass_kernel(h: int, w: int, size: int, fin: bool = False):
     # Row window: 8-row-aligned dynamic start (Mosaic requires tile-aligned
     # dynamic vector loads) covering the band plus the pass's ±3*size reach.
     pre = -(-(_MAX_REACH * size) // 8) * 8
     win = BAND + 2 * pre
 
-    def kernel(l0p, l1p, l2p, dpp, npp, o0, o1, o2):
+    def kernel(l0p, l1p, l2p, dpp, npp, *rest):
         """One à-trous pass for one BAND-row band.
 
         l*p/dpp/npp: whole padded planes, resident in VMEM; o*: (BAND, w)
@@ -56,7 +56,19 @@ def _make_pass_kernel(h: int, w: int, size: int):
         slice axis) are materialized once per distinct dx — 3 views x 5
         planes instead of one 2-D slice per tap x plane; each tap then
         takes a cheap sublane row slice of its dx view.
+
+        fin=True (the last pass) also applies finalize.comp in-register:
+        `rest` then leads with 12 unpadded (h, w) planes — albedo,
+        emission, fog, dither x RGB — and the outputs are the final frame
+        channels (composite + fog + filmic + dither; reference
+        shaders/glsl/finalize.comp:33-56), saving the full-frame XLA
+        round-trip of a separate finalize stage.
         """
+        if fin:
+            (alb0, alb1, alb2, emi0, emi1, emi2,
+             fog0, fog1, fog2, dit0, dit1, dit2) = rest[:12]
+            rest = rest[12:]
+        o0, o1, o2 = rest
         i = pl.program_id(0)
         # Band's first center row sits at padded row PAD + i*BAND; the
         # window starts `pre` rows above it (PAD - pre is an 8-multiple).
@@ -96,23 +108,60 @@ def _make_pass_kernel(h: int, w: int, size: int):
             a1 = a1 + v1[dx][rs] * wgt
             a2 = a2 + v2[dx][rs] * wgt
         inv = jnp.float32(1.0) / total_w
-        o0[:] = jnp.where(sky, c0v, a0 * inv)
-        o1[:] = jnp.where(sky, c1v, a1 * inv)
-        o2[:] = jnp.where(sky, c2v, a2 * inv)
+        b0 = jnp.where(sky, c0v, a0 * inv)
+        b1 = jnp.where(sky, c1v, a1 * inv)
+        b2 = jnp.where(sky, c2v, a2 * inv)
+        if not fin:
+            o0[:] = b0
+            o1[:] = b1
+            o2[:] = b2
+            return
+
+        # ---- fused finalize (finalize.comp / ops/finalize.py) ----
+        from ..constants import LIGHTING_SCALE
+        from .finalize import FOG_SCALE
+        from .shading import filmic_curve
+
+        band_rows = pl.ds(i * BAND, BAND)
+        depth_f = dc * jnp.float32(256.0)
+        fog_amount = jnp.minimum(depth_f * jnp.float32(1.0 / FOG_SCALE), 1.0)
+        # depth u16 == 0xFFFF means sky; dc = depth/256 is exact in f32.
+        is_terrain = dc < jnp.float32(65535.0 / 256.0)
+        for bl, alb, emi, fogp, dit, out in (
+            (b0, alb0, emi0, fog0, dit0, o0),
+            (b1, alb1, emi1, fog1, dit1, o1),
+            (b2, alb2, emi2, fog2, dit2, o2),
+        ):
+            final = (
+                alb[band_rows, :] * (bl * jnp.float32(LIGHTING_SCALE))
+                + emi[band_rows, :] * 4.0
+            )
+            fogc = fogp[band_rows, :] * 2.0
+            final = jnp.where(
+                is_terrain, final + (fogc - final) * fog_amount, final
+            )
+            final = filmic_curve(jnp, final)
+            out[:] = final + dit[band_rows, :] * jnp.float32(1.0 / 128.0)
 
     return kernel
 
 
-def _pallas_pass(l0, l1, l2, dp, np_, h, w, size, interpret):
-    """One pass: unpadded (h, w) planes in, (h, w) planes out."""
+def _pallas_pass(l0, l1, l2, dp, np_, h, w, size, interpret, fin_args=None):
+    """One pass: unpadded (h, w) planes in, (h, w) planes out.
+
+    fin_args: 12 unpadded (h, w) planes (albedo/emission/fog/dither x RGB)
+    to fuse finalize into this (final) pass.
+    """
     cfg = [(PAD, PAD), (PAD, PAD)]
     args = [jnp.pad(x, cfg, mode="edge") for x in (l0, l1, l2)] + [dp, np_]
+    if fin_args is not None:
+        args += list(fin_args)
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
     band = pl.BlockSpec((BAND, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _make_pass_kernel(h, w, size),
+        _make_pass_kernel(h, w, size, fin=fin_args is not None),
         grid=(h // BAND,),
-        in_specs=[whole] * 5,
+        in_specs=[whole] * len(args),
         out_specs=[band] * 3,
         out_shape=[jax.ShapeDtypeStruct((h, w), jnp.float32)] * 3,
         interpret=interpret,
@@ -159,3 +208,68 @@ def denoise_chain_pallas(
 
     out = jnp.stack([l0, l1, l2], axis=-1)
     return out[:h0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def denoise_finalize_pallas(
+    gb: dict,
+    blue_noise: jax.Array,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """6-pass denoise + finalize as one Pallas chain -> (H, W, 3) frame.
+
+    The last pass applies finalize.comp in-register (composite, fog, filmic
+    curve, blue-noise dither) so the full-resolution lighting never makes an
+    extra HBM round-trip through a separate finalize stage.  Output equals
+    finalize_frame(..., denoise_chain(...)) exactly (golden-tested),
+    including the vertical flip.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    lighting, depth, normal = gb["lighting"], gb["depth"], gb["normal"]
+    h0, w = lighting.shape[:2]
+    h = -(-h0 // BAND) * BAND
+
+    def rows_pad(x):
+        if h == h0:
+            return x
+        return jnp.pad(
+            x, [(0, h - h0)] + [(0, 0)] * (x.ndim - 1), mode="edge"
+        )
+
+    lighting = rows_pad(lighting)
+    depth = rows_pad(depth)
+    normal = rows_pad(normal)
+
+    planar = lighting.transpose(2, 0, 1)
+    l0, l1, l2 = planar[0], planar[1], planar[2]
+    cfg = [(PAD, PAD), (PAD, PAD)]
+    dp = jnp.pad(depth.astype(jnp.float32) / 256.0, cfg, mode="edge")
+    np_ = jnp.pad(normal.astype(jnp.int32), cfg, mode="edge")
+
+    # Finalize operands as unpadded planes (finalize.py full-frame path:
+    # modular dither = tile of the blue-noise texture).
+    ny, nx = blue_noise.shape[0], blue_noise.shape[1]
+    dither = jnp.tile(
+        blue_noise[:, :, :3].transpose(2, 0, 1), (1, -(-h // ny), -(-w // nx))
+    )[:, :h, :w]
+    planes = []
+    for img in (gb["albedo"], gb["emission"], gb["fog"]):
+        p = rows_pad(img).transpose(2, 0, 1)
+        planes += [p[0], p[1], p[2]]
+    planes += [dither[0], dither[1], dither[2]]
+
+    for si, size in enumerate(DENOISE_SIZES):
+        last = si + 1 == len(DENOISE_SIZES)
+        if h != h0:
+            l0, l1, l2 = (
+                jnp.pad(x[:h0], [(0, h - h0), (0, 0)], mode="edge")
+                for x in (l0, l1, l2)
+            )
+        l0, l1, l2 = _pallas_pass(
+            l0, l1, l2, dp, np_, h, w, size, interpret,
+            fin_args=planes if last else None,
+        )
+
+    frame = jnp.stack([l0, l1, l2], axis=-1)[:h0]
+    return frame[::-1]  # window coords are upside-down (finalize.comp:59)

@@ -510,8 +510,8 @@ def render_gbuffers_fused(
     interpret: bool | None = None,
     caps: tuple = FUSED_CAPS,
     unified: bool = True,
-    unroll: int = 2,
-    lazy_t: bool = False,
+    unroll: int = 3,
+    lazy_t: bool = True,
     row0=0,
     rows: int | None = None,
 ) -> dict[str, jax.Array]:

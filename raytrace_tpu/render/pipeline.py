@@ -100,16 +100,18 @@ def render_frame(
         )
     else:
         gb = render_gbuffers(world, blue_noise, uniforms, width, height, max_steps)
-    from ..ops.denoise_pallas import MAX_VMEM_PIXELS, denoise_chain_pallas
+    from ..ops.denoise_pallas import MAX_VMEM_PIXELS, denoise_finalize_pallas
 
     if width * height <= MAX_VMEM_PIXELS:
-        # VMEM-resident 6-pass Pallas denoiser (~7x the XLA chain at 1024²).
-        denoised = denoise_chain_pallas(gb["lighting"], gb["depth"], gb["normal"])
+        # VMEM-resident Pallas denoiser with finalize fused into the last
+        # pass (no separate full-frame finalize stage).
+        frame = denoise_finalize_pallas(gb, blue_noise)
     else:
         denoised = denoise_chain(gb["lighting"], gb["depth"], gb["normal"])
-    frame = finalize_frame(
-        gb["albedo"], gb["emission"], gb["fog"], denoised, gb["depth"], blue_noise
-    )
+        frame = finalize_frame(
+            gb["albedo"], gb["emission"], gb["fog"], denoised, gb["depth"],
+            blue_noise,
+        )
     if with_gbuffers:
         return frame, gb
     return frame

@@ -115,3 +115,27 @@ def test_pallas_chain_matches_xla_chain():
         )
     )
     np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_pallas_denoise_finalize_matches_staged():
+    """Fused last-pass finalize == denoise_chain + finalize_frame exactly."""
+    from raytrace_tpu.ops.denoise_pallas import denoise_finalize_pallas
+    from raytrace_tpu.utils.blue_noise import get_blue_noise_f32
+
+    rng = np.random.default_rng(5)
+    h, w = 40, 48
+    gb = dict(
+        lighting=jnp.asarray(rng.random((h, w, 3), np.float32)),
+        depth=jnp.asarray((rng.random((h, w)) * 65000).astype(np.uint16)),
+        normal=jnp.asarray(rng.integers(0, 6, (h, w)).astype(np.uint8)),
+        albedo=jnp.asarray(rng.random((h, w, 3), np.float32)),
+        emission=jnp.asarray(rng.random((h, w, 3), np.float32) * 0.1),
+        fog=jnp.asarray(rng.random((h, w, 3), np.float32)),
+    )
+    bn = jnp.asarray(get_blue_noise_f32())
+    den = denoise_chain(gb["lighting"], gb["depth"], gb["normal"])
+    want = np.asarray(
+        finalize_frame(gb["albedo"], gb["emission"], gb["fog"], den, gb["depth"], bn)
+    )
+    got = np.asarray(denoise_finalize_pallas(gb, bn))
+    np.testing.assert_allclose(got, want, atol=3e-5)
