@@ -86,6 +86,9 @@ def config1_single_chunk(tracer="volume"):
 
 
 def config2_world_1080p(tracer="fused"):
+    # Always the staged hf path: this config is "one diffuse bounce"
+    # (3 rays/px) and per-leg bounce control lives in the staged tracer;
+    # the fused kernel always walks the full 5-ray path.
     from ..ops.trace_pallas import build_hf_tables, render_gbuffers_hf
 
     lr = jnp.zeros(3, jnp.int32)

@@ -60,6 +60,11 @@ def run(
         millis = (time.monotonic() - frame_timer) * 1000.0
         frame_timer = time.monotonic()
         perf.push_sample(millis)
+        # Simulation dt is clamped: a jit-compile stall (minutes through the
+        # remote tunnel) must not advance the fly camera / sun by minutes of
+        # game time in one tick.  (The reference ticks real dt, main.rs:43,
+        # but its frame hitches are milliseconds, not compiles.)
+        millis = min(millis, 100.0)
         if not quiet:
             print(f"\r{perf.average():.1f}ms / {perf.max():.1f}ms   ", end="", flush=True)
 
