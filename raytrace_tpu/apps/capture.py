@@ -59,24 +59,47 @@ def run(out_dir="capture", width=512, height=512, limit=None, max_steps=2048, sa
     manifest = []
     t0 = time.monotonic()
     last_origin = None
-    for i, cfg in enumerate(configs):
-        cam = Camera(origin=list(cfg["origin"]), heading=cfg["heading"], pitch=cfg["pitch"])
+
+    import jax.numpy as jnp
+
+    def draw(cfg):
+        cam = Camera(
+            origin=list(cfg["origin"]), heading=cfg["heading"], pitch=cfg["pitch"]
+        )
+        nonlocal last_origin
         if cfg["origin"] != last_origin:
             # Recenter the world region on the new viewpoint (the reference
             # sweep relaunched the process per position for the same effect).
             pipeline.teleport(cam)
             last_origin = cfg["origin"]
         frame = pipeline.draw_frame(cam, cfg["sun_angle"])
+        # Quantize on device: the PNG needs uint8 anyway, and the u8 frame
+        # is 12x less host-transfer than f32 over the remote tunnel.
+        return jnp.clip(frame * 255.0, 0, 255).astype(jnp.uint8)
+
+    def sink(i, cfg, frame_u8):
         if save:
             from ..testing.golden import save_png
 
             name = f"view_{i:05d}.png"
-            save_png(out / name, np.asarray(frame))
+            save_png(out / name, np.asarray(frame_u8))
             manifest.append({**cfg, "file": name})
         else:
-            np.asarray(frame)  # sync
+            np.asarray(frame_u8)  # sync
         tracker.advance()
         print(f"\r{tracker.status()}   ", end="", flush=True)
+
+    # One-view pipelining: dispatch view i+1 (async) before reading back
+    # view i, so the device renders while the host saves (the analog of the
+    # reference's one-frame-deep fence, pipeline.rs:162-235).
+    pending = None
+    for i, cfg in enumerate(configs):
+        frame_u8 = draw(cfg)
+        if pending is not None:
+            sink(*pending)
+        pending = (i, cfg, frame_u8)
+    if pending is not None:
+        sink(*pending)
     print()
     if save:
         (out / "manifest.json").write_text(json.dumps(manifest, indent=1))

@@ -495,7 +495,7 @@ def _make_kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "max_steps", "seed", "tile_rows", "interpret", "caps",
-        "unified", "unroll", "rows", "lazy_t",
+        "unified", "unroll", "rows", "lazy_t", "tail_rows",
     ),
 )
 def render_gbuffers_fused(
@@ -512,6 +512,7 @@ def render_gbuffers_fused(
     unified: bool = True,
     unroll: int = 3,
     lazy_t: bool = True,
+    tail_rows: int | None = None,
     row0=0,
     rows: int | None = None,
 ) -> dict[str, jax.Array]:
@@ -601,17 +602,23 @@ def render_gbuffers_fused(
     )
     cidx = iota
 
-    ray_spec = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     table_spec = lambda t: pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     outf = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     outi = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
     table_keys = ("hsub", "h3", "cA", "cB", "cC", "cD")
 
-    def run_pass(steps, *ops):
-        kernel = _make_kernel(tile_rows, steps, seed, unified, unroll, lazy_t)
+    def run_pass(steps, *ops, rows_per_tile=None):
+        # Later cascade levels may use smaller tiles: after compaction the
+        # stragglers are few, and a smaller tile bounds the idle-lane cost
+        # of each tile's max path length more tightly.
+        tr = tile_rows if rows_per_tile is None else rows_per_tile
+        ray_spec = pl.BlockSpec(
+            (tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        kernel = _make_kernel(tr, steps, seed, unified, unroll, lazy_t)
         return pl.pallas_call(
             kernel,
-            grid=(grid,),
+            grid=(rows // tr,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
             + [ray_spec] * 12
             + [table_spec(tables[k]) for k in table_keys],
@@ -643,7 +650,8 @@ def render_gbuffers_fused(
                  cidx),
             )
         (cx, cy, cz, cdx, cdy, cdz, cqx, cqy, cqz, cpd, cmeta) = run_pass(
-            cap, cx, cy, cz, cdx, cdy, cdz, cqx, cqy, cqz, cpd, cnw, cmeta
+            cap, cx, cy, cz, cdx, cdy, cdz, cqx, cqy, cqz, cpd, cnw, cmeta,
+            rows_per_tile=None if li == 0 else tail_rows,
         )
 
     # Back to pixel order; only the shade inputs travel.

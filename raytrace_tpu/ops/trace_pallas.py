@@ -500,7 +500,7 @@ def trace_rays_hf(
     interpret: bool | None = None,
     caps: tuple = COMPACT_CAPS,
     active: jax.Array | None = None,
-    unified: bool = False,
+    unified: bool = True,
 ) -> dict[str, jax.Array]:
     """Heightfield-accelerated trace; drop-in for trace_jax.trace_rays.
 

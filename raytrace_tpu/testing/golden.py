@@ -41,8 +41,10 @@ def compare_images(
 
 
 def save_png(path, image: np.ndarray) -> None:
-    """Save a float [0,1] (H, W, 3) image as PNG (uses PIL)."""
+    """Save a float [0,1] (or already-uint8) (H, W, 3) image as PNG."""
     from PIL import Image
 
-    arr = np.clip(np.asarray(image) * 255.0, 0, 255).astype(np.uint8)
+    arr = np.asarray(image)
+    if arr.dtype != np.uint8:
+        arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
     Image.fromarray(arr).save(path)
