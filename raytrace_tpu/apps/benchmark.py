@@ -86,9 +86,6 @@ def config1_single_chunk(tracer="volume"):
 
 
 def config2_world_1080p(tracer="fused"):
-    # Always the staged hf path: this config is "one diffuse bounce"
-    # (3 rays/px) and per-leg bounce control lives in the staged tracer;
-    # the fused kernel always walks the full 5-ray path.
     from ..ops.trace_pallas import build_hf_tables, render_gbuffers_hf
 
     lr = jnp.zeros(3, jnp.int32)
@@ -100,7 +97,16 @@ def config2_world_1080p(tracer="fused"):
 
     @jax.jit
     def f(t, b, u):
-        gb = render_gbuffers_hf(t, b, u, 1920, 1080, MAX_TRACE_STEPS, 0, bounces=1)
+        if tracer == "fused":
+            from ..ops.lighting_pallas import render_gbuffers_fused
+
+            gb = render_gbuffers_fused(
+                t, b, u, 1920, 1080, MAX_TRACE_STEPS, 0, bounces=1
+            )
+        else:
+            gb = render_gbuffers_hf(
+                t, b, u, 1920, 1080, MAX_TRACE_STEPS, 0, bounces=1
+            )
         d = denoise_chain(gb["lighting"], gb["depth"], gb["normal"])
         return finalize_frame(gb["albedo"], gb["emission"], gb["fog"], d, gb["depth"], b)
 

@@ -89,6 +89,7 @@ def _make_kernel(
     unified: bool = False,
     unroll: int = 1,
     lazy_t: bool = False,
+    legs: int = 5,
 ):
     S = tile_rows
 
@@ -245,13 +246,16 @@ def _make_kernel(
             acc = acc | jnp.where(c2h, matc << 7, 0)
 
             # Next leg: 0 -> 1 on hit / 5 on air; 1 -> 2; 2 -> 3 on hit / 5;
-            # 3 -> 4; 4 -> 5.
+            # 3 -> 4; 4 -> 5.  Paths cap at `legs` rays (reduced-bounce
+            # configs): any leg id >= legs is done.
             next_leg = jnp.where(
                 is0, jnp.where(completed_hit, 1, 5),
                 jnp.where(is1, 2,
                           jnp.where(is2, jnp.where(completed_hit, 3, 5),
                                     jnp.where(is3, 4, 5))),
             )
+            if legs < 5:
+                next_leg = jnp.where(next_leg >= legs, 5, next_leg)
             leg_new = jnp.where(completed, next_leg, leg)
 
             # Fresh base point when a bounce starts from a new hit.
@@ -495,7 +499,7 @@ def _make_kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "max_steps", "seed", "tile_rows", "interpret", "caps",
-        "unified", "unroll", "rows", "lazy_t", "tail_rows",
+        "unified", "unroll", "rows", "lazy_t", "tail_rows", "bounces",
     ),
 )
 def render_gbuffers_fused(
@@ -515,6 +519,7 @@ def render_gbuffers_fused(
     tail_rows: int | None = None,
     row0=0,
     rows: int | None = None,
+    bounces: int = 2,
 ) -> dict[str, jax.Array]:
     """Full G-buffer pass through the fused path kernel + compaction cascade.
 
@@ -607,6 +612,8 @@ def render_gbuffers_fused(
     outi = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
     table_keys = ("hsub", "h3", "cA", "cB", "cC", "cD")
 
+    legs = 1 + 2 * bounces  # rays per path: primary + (sun, diffuse) pairs
+
     def run_pass(steps, *ops, rows_per_tile=None):
         # Later cascade levels may use smaller tiles: after compaction the
         # stragglers are few, and a smaller tile bounds the idle-lane cost
@@ -615,7 +622,7 @@ def render_gbuffers_fused(
         ray_spec = pl.BlockSpec(
             (tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
-        kernel = _make_kernel(tr, steps, seed, unified, unroll, lazy_t)
+        kernel = _make_kernel(tr, steps, seed, unified, unroll, lazy_t, legs)
         return pl.pallas_call(
             kernel,
             grid=(rows // tr,),

@@ -500,7 +500,7 @@ def trace_rays_hf(
     interpret: bool | None = None,
     caps: tuple = COMPACT_CAPS,
     active: jax.Array | None = None,
-    unified: bool = True,
+    unified: bool | None = None,
 ) -> dict[str, jax.Array]:
     """Heightfield-accelerated trace; drop-in for trace_jax.trace_rays.
 
@@ -520,6 +520,13 @@ def trace_rays_hf(
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if unified is None:
+        # Coherent primary batches (no active mask) profit from the unified
+        # single-loop body; bounce legs with long open-sky travel profit
+        # from the phased design's cheap coarse loop (no height evals).
+        # Measured at 1080p bounces=1: phased-everywhere 242 ms,
+        # unified-everywhere 277 ms.
+        unified = active is None
 
     shape = origin.shape[:-1]
     n = 1

@@ -82,3 +82,34 @@ def test_unroll_invariance(frame_pair):
     )
     for k in ("lighting", "depth", "normal", "albedo", "fog"):
         np.testing.assert_array_equal(np.asarray(rolled[k]), fused[k])
+
+
+@pytest.mark.parametrize("bounces", [0, 1])
+def test_reduced_bounce_matches_staged(bounces):
+    """legs-capped fused paths == the staged tracer at the same bounce count."""
+    W = H = 64
+    bn = get_blue_noise_f32()
+    pitch = -0.3
+    u = FrameUniforms(
+        origin=(-30.0, -100.0, 60.0),
+        sun_angle=0.6,
+        forward=(0.0, np.cos(pitch), np.sin(pitch)),
+        up=(0.0, -0.4 * np.sin(pitch), 0.4 * np.cos(pitch)),
+        right=(0.4, 0.0, 0.0),
+    ).as_device_dict()
+    tables = build_hf_tables(jnp.zeros(3, jnp.int32), seed=0)
+    staged = render_gbuffers_hf(
+        tables, bn, u, W, H, max_steps=2048, seed=0, interpret=True,
+        bounces=bounces,
+    )
+    fused = render_gbuffers_fused(
+        tables, bn, u, W, H, max_steps=2048, seed=0, interpret=True,
+        bounces=bounces,
+    )
+    np.testing.assert_allclose(
+        np.asarray(staged["lighting"]), np.asarray(fused["lighting"]),
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(staged["normal"]), np.asarray(fused["normal"])
+    )
