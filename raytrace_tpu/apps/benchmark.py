@@ -23,8 +23,6 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import MAX_TRACE_STEPS
-from ..ops.denoise import denoise_chain
-from ..ops.finalize import finalize_frame
 from ..render.camera import Camera
 from ..render.pipeline import Pipeline
 from ..utils.blue_noise import get_blue_noise_f32
@@ -107,8 +105,9 @@ def config2_world_1080p(tracer="fused"):
             gb = render_gbuffers_hf(
                 t, b, u, 1920, 1080, MAX_TRACE_STEPS, 0, bounces=1
             )
-        d = denoise_chain(gb["lighting"], gb["depth"], gb["normal"])
-        return finalize_frame(gb["albedo"], gb["emission"], gb["fog"], d, gb["depth"], b)
+        from ..ops.denoise_pallas import denoise_finalize_pallas
+
+        return denoise_finalize_pallas(gb, b)
 
     _sync(f(tables, bn, uni))
     t0 = time.monotonic()

@@ -36,8 +36,9 @@ from .denoise import _CENTER_WEIGHT, _MAX_REACH, _TAPS
 PAD = _MAX_REACH * max(DENOISE_SIZES)
 BAND = 32  # rows per grid step (amortizes the halo window copy ~4x)
 
-# VMEM budget guard: beyond ~2 M pixels the resident padded planes outgrow
-# VMEM; callers fall back to the XLA chain.
+# VMEM budget guard: beyond this the resident padded planes + band windows
+# overflow VMEM (1080p measured: Mosaic compile failure) — the chain falls
+# back to the XLA formulation.
 MAX_VMEM_PIXELS = 1_400_000
 
 
@@ -228,6 +229,15 @@ def denoise_finalize_pallas(
         interpret = jax.default_backend() != "tpu"
     lighting, depth, normal = gb["lighting"], gb["depth"], gb["normal"]
     h0, w = lighting.shape[:2]
+    if h0 * w > MAX_VMEM_PIXELS:
+        # Too large for the VMEM-resident chain: XLA formulation.
+        from .denoise import denoise_chain
+        from .finalize import finalize_frame
+
+        den = denoise_chain(lighting, depth, normal)
+        return finalize_frame(
+            gb["albedo"], gb["emission"], gb["fog"], den, depth, blue_noise
+        )
     h = -(-h0 // BAND) * BAND
 
     def rows_pad(x):

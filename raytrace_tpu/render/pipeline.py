@@ -29,8 +29,6 @@ from ..constants import (
     DEFAULT_WIDTH,
     MAX_TRACE_STEPS,
 )
-from ..ops.denoise import denoise_chain
-from ..ops.finalize import finalize_frame
 from ..ops.trace_jax import render_gbuffers
 from ..utils.blue_noise import get_blue_noise_f32
 from .camera import Camera
@@ -100,18 +98,11 @@ def render_frame(
         )
     else:
         gb = render_gbuffers(world, blue_noise, uniforms, width, height, max_steps)
-    from ..ops.denoise_pallas import MAX_VMEM_PIXELS, denoise_finalize_pallas
+    from ..ops.denoise_pallas import denoise_finalize_pallas
 
-    if width * height <= MAX_VMEM_PIXELS:
-        # VMEM-resident Pallas denoiser with finalize fused into the last
-        # pass (no separate full-frame finalize stage).
-        frame = denoise_finalize_pallas(gb, blue_noise)
-    else:
-        denoised = denoise_chain(gb["lighting"], gb["depth"], gb["normal"])
-        frame = finalize_frame(
-            gb["albedo"], gb["emission"], gb["fog"], denoised, gb["depth"],
-            blue_noise,
-        )
+    # VMEM-resident Pallas denoiser with finalize fused into the last pass
+    # (falls back to the XLA chain internally above its VMEM pixel budget).
+    frame = denoise_finalize_pallas(gb, blue_noise)
     if with_gbuffers:
         return frame, gb
     return frame
