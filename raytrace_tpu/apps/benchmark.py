@@ -149,12 +149,18 @@ def config4_capture(tracer="fused", views=30):
 
 
 def config5_tiled_4k(tracer="fused"):
-    from ..ops.trace_jax import fuse_volume
     from ..parallel.tiles import make_tile_mesh, render_frame_tiled
-    from ..world.generate import generate_box
 
-    box = generate_box((-128, -128, -128), (256, 256, 256), seed=0)
-    fused = fuse_volume(box["materials"], box["minefield"])
+    if tracer in ("fused", "hf"):
+        from ..ops.trace_pallas import build_hf_tables
+
+        world = build_hf_tables(jnp.zeros(3, jnp.int32), seed=0)
+    else:
+        from ..ops.trace_jax import fuse_volume
+        from ..world.generate import generate_box
+
+        box = generate_box((-128, -128, -128), (256, 256, 256), seed=0)
+        world = fuse_volume(box["materials"], box["minefield"])
     bn = jnp.asarray(get_blue_noise_f32())
     cam = Camera(origin=[-30.0, -100.0, 60.0])
     cam.pitch = -0.3
@@ -163,13 +169,15 @@ def config5_tiled_4k(tracer="fused"):
     n_dev = len(jax.devices())
     W, H = 3840, 2160
     f = jax.jit(
-        lambda v, b, u: render_frame_tiled(v, b, u, W, H, mesh, MAX_TRACE_STEPS)
+        lambda v, b, u: render_frame_tiled(
+            v, b, u, W, H, mesh, MAX_TRACE_STEPS, tracer=tracer
+        )
     )
-    _sync(f(fused, bn, uni))
+    _sync(f(world, bn, uni))
     t0 = time.monotonic()
     n = 3
     for _ in range(n):
-        _sync(f(fused, bn, uni))
+        _sync(f(world, bn, uni))
     dt = (time.monotonic() - t0) / n
     return _emit(
         "5_tiled_4k", W * H * 5 / dt / 1e6, "Mrays/s", {"devices": n_dev, "ms": round(dt * 1e3)}

@@ -47,14 +47,17 @@ def sweep_configs():
                 yield dict(origin=pos, heading=heading, pitch=-0.3, sun_angle=sun)
 
 
-def run(out_dir="capture", width=512, height=512, limit=None, max_steps=2048, save=True):
+def run(out_dir="capture", width=512, height=512, limit=None, max_steps=2048,
+        save=True, pipeline=None):
+    """pipeline: optional pre-built Pipeline (tests inject a cheap one)."""
     configs = list(sweep_configs())
     if limit:
         configs = configs[:limit]
     out = Path(out_dir)
     if save:
         out.mkdir(parents=True, exist_ok=True)
-    pipeline = Pipeline(width=width, height=height, max_steps=max_steps)
+    if pipeline is None:
+        pipeline = Pipeline(width=width, height=height, max_steps=max_steps)
     tracker = StatTracker(len(configs), "views")
     manifest = []
     t0 = time.monotonic()
