@@ -64,3 +64,58 @@ def test_validate_mode_runs(capsys):
     import numpy as np
 
     assert np.isfinite(np.asarray(frame)).all()
+
+
+def test_validate_mode_runs_and_reports(full_world_volume, capsys):
+    """validate=True (the Vulkan-validation-layer analog) must sync, check
+    finiteness, and count limiter pixels without changing the image."""
+    from raytrace_tpu.ops.trace_jax import fuse_volume
+
+    mats, mf = full_world_volume
+    fused = fuse_volume(jnp.asarray(mats), jnp.asarray(mf))
+    p = Pipeline(
+        width=48, height=48, max_steps=16, tracer="volume",
+        preloaded_volume=fused, validate=True,
+    )
+    game = Game()
+    frame = np.asarray(p.draw_frame(game.camera, 0.6))
+    assert np.isfinite(frame).all()
+    out = capsys.readouterr().out
+    # max_steps=16 exhausts some rays -> the limiter report must fire.
+    assert "step" in out and "limiter" in out
+
+
+def test_committed_golden_frame():
+    """The production frame at the canonical terrain view must match the
+    committed golden (guards cross-session drift in worldgen, tracing, or
+    the tone pipeline; regenerate the .npz deliberately if the WORLD
+    DEFINITION itself changes)."""
+    from pathlib import Path
+
+    from raytrace_tpu.ops.denoise_pallas import denoise_finalize_pallas
+    from raytrace_tpu.ops.lighting_pallas import render_gbuffers_fused
+    from raytrace_tpu.ops.trace_pallas import build_hf_tables
+    from raytrace_tpu.render.pipeline import FrameUniforms
+    from raytrace_tpu.testing.golden import compare_images
+    from raytrace_tpu.utils.blue_noise import get_blue_noise_f32
+
+    W = H = 64
+    bn = jnp.asarray(get_blue_noise_f32())
+    pitch = -0.3
+    u = FrameUniforms(
+        origin=(-30.0, -100.0, 60.0),
+        sun_angle=0.6,
+        forward=(0.0, float(np.cos(pitch)), float(np.sin(pitch))),
+        up=(0.0, -0.4 * float(np.sin(pitch)), 0.4 * float(np.cos(pitch))),
+        right=(0.4, 0.0, 0.0),
+    ).as_device_dict()
+    tables = build_hf_tables(jnp.zeros(3, jnp.int32), seed=0)
+    gb = render_gbuffers_fused(
+        tables, bn, u, W, H, max_steps=2048, seed=0, interpret=True
+    )
+    frame = np.asarray(denoise_finalize_pallas(gb, bn, interpret=True))
+    want = np.load(Path(__file__).parent / "goldens" / "terrain_frame_64.npz")[
+        "frame"
+    ]
+    stats = compare_images(frame, want)
+    assert stats["ok"], stats
