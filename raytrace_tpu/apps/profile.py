@@ -20,13 +20,16 @@ from ..render.camera import Camera
 from ..render.pipeline import Pipeline
 
 
-def run(out_dir: str = "/tmp/raytrace_tpu_trace", frames: int = 5, width=1024, height=1024, tracer="hf"):
+def run(out_dir: str = "/tmp/raytrace_tpu_trace", frames: int = 5, width=1024, height=1024, tracer="fused"):
     pipeline = Pipeline(width=width, height=height, tracer=tracer)
     cam = Camera(origin=[-30.0, -100.0, 60.0])
     cam.pitch = -0.3
 
-    # Warm up (compile outside the trace).
-    np.asarray(pipeline.draw_frame(cam, 0.6))
+    # Warm up compiles AND streaming convergence (the static camera needs
+    # several slice moves; tracing before convergence records slice-upload
+    # programs instead of the steady-state frame).
+    for _ in range(6):
+        np.asarray(pipeline.draw_frame(cam, 0.6))
 
     with jax.profiler.trace(out_dir):
         t0 = time.monotonic()
@@ -42,7 +45,7 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default="/tmp/raytrace_tpu_trace")
     ap.add_argument("--frames", type=int, default=5)
-    ap.add_argument("--tracer", default="hf", choices=["hf", "volume"])
+    ap.add_argument("--tracer", default="fused", choices=["fused", "hf", "volume"])
     ns = ap.parse_args()
     run(ns.out, ns.frames, tracer=ns.tracer)
 
