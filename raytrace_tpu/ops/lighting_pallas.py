@@ -68,6 +68,58 @@ LANES = 128
 FUSED_CAPS = (64,)
 
 
+_MAT_CODES_CHECKED = False
+
+
+def check_material_codes():
+    """Fail loudly if the 2-bit material-code compression is unsound.
+
+    The fused kernel compresses terrain materials into 2-bit codes
+    (``_mat_code``: band id 2->1, 5->2, 6->3) and the final shade pass
+    reconstructs packed u32s from those codes via PACKED_MATERIALS[2/5/6].
+    That is only valid while (a) worldgen's material_band emits exactly ids
+    {2, 5, 6} and (b) the CSV still defines those ids as solid materials.
+    A materials.csv or band edit must trip this host-side check (run once
+    per process from render_gbuffers_fused) instead of silently corrupting
+    shading.
+    """
+    global _MAT_CODES_CHECKED
+    if _MAT_CODES_CHECKED:
+        return
+    import numpy as np
+
+    from .. import materials
+    from ..world.generate import material_band
+
+    with jax.ensure_compile_time_eval():
+        z = jnp.arange(-64, 320, dtype=jnp.int32)
+        band_samples = [
+            np.asarray(material_band(z, jnp.full(z.shape, bits, jnp.uint32)))
+            for bits in (0, 1, 17, 59, 0x7FFFFFFF, 0xFFFFFFFF)
+        ]
+    for bands in band_samples:
+        extra = set(np.unique(bands).tolist()) - {2, 5, 6}
+        if extra:
+            raise AssertionError(
+                f"material_band emits ids {sorted(extra)} outside the fused "
+                "kernel's 2-bit code table {2,5,6} — update _mat_code"
+            )
+    if len(materials.MATERIALS) <= 6:
+        raise AssertionError(
+            "materials table no longer contains ids 2/5/6 used by the fused "
+            f"kernel (len={len(materials.MATERIALS)})"
+        )
+    for mid in (2, 5, 6):
+        if not materials.SOLID_TABLE[mid]:
+            raise AssertionError(
+                f"material id {mid} is no longer solid in materials.csv but "
+                "the fused kernel shades it as terrain"
+            )
+        if int(materials.PACKED_MATERIALS[mid]) != materials.MATERIALS[mid].pack():
+            raise AssertionError(f"PACKED_MATERIALS[{mid}] out of sync")
+    _MAT_CODES_CHECKED = True
+
+
 def _mat_code(xi, yi, zi, seed):
     """Material band at a solid voxel as a 2-bit code (1 grass 2 rock 3 snow).
 
@@ -172,7 +224,7 @@ def _make_kernel(
             )
 
         def hit_info(px, py, pz):
-            """(inside_solid, hcol, matcode) at the current position."""
+            """(inside_solid, matcode) at the current position."""
             xi = jnp.floor(px).astype(jnp.int32)
             yi = jnp.floor(py).astype(jnp.int32)
             zi = jnp.floor(pz).astype(jnp.int32)
@@ -524,6 +576,11 @@ def render_gbuffers_fused(
     """Full G-buffer pass through the fused path kernel + compaction cascade.
 
     Output-compatible with trace_jax.integrate_gbuffers / render_gbuffers_hf.
+    `blue_noise` values MUST be exact k/255 multiples (true for the packed-u8
+    synthesized texture, utils/blue_noise.py): the kernel traces diffuse and
+    sun-jitter directions from a u8-requantized noise word while the final
+    shade recomputes the same directions from the float noise — arbitrary
+    [0,1) noise would silently diverge traced occlusion from shaded sky.
     `caps` bounds each cascade level's iterations (whole-path budget); after
     each level the not-yet-done rays are stably sorted to the front so
     straggler paths stop holding whole tiles hostage (see
@@ -533,6 +590,7 @@ def render_gbuffers_fused(
     """
     from .trace_jax import camera_rays
 
+    check_material_codes()
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -619,6 +677,9 @@ def render_gbuffers_fused(
         # stragglers are few, and a smaller tile bounds the idle-lane cost
         # of each tile's max path length more tightly.
         tr = tile_rows if rows_per_tile is None else rows_per_tile
+        # grid=(rows // tr): a non-divisor tr would silently drop the tail
+        # tile (its output rows would be garbage) — fail loudly instead.
+        assert rows % tr == 0, (rows, tr)
         ray_spec = pl.BlockSpec(
             (tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         )

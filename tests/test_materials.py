@@ -59,3 +59,27 @@ def test_vectorized_unpack_matches_scalar():
     for i, m in enumerate(MATERIALS):
         np.testing.assert_allclose(alb[i], np.array(m.albedo) / 127.0, atol=1e-6)
     np.testing.assert_allclose(alb, ALBEDO_TABLE, atol=1e-6)
+
+
+def test_material_code_check_trips_on_solid_edit(monkeypatch):
+    """A materials.csv edit that breaks the fused kernel's 2-bit code table
+    must fail loudly (VERDICT r1 weak #8)."""
+    import pytest
+
+    from raytrace_tpu import materials
+    from raytrace_tpu.ops import lighting_pallas as lp
+
+    bad = materials.SOLID_TABLE.copy()
+    bad[5] = False
+    monkeypatch.setattr(materials, "SOLID_TABLE", bad)
+    monkeypatch.setattr(lp, "_MAT_CODES_CHECKED", False)
+    with pytest.raises(AssertionError, match="no longer solid"):
+        lp.check_material_codes()
+
+
+def test_material_code_check_passes_on_real_table():
+    from raytrace_tpu.ops import lighting_pallas as lp
+
+    lp._MAT_CODES_CHECKED = False
+    lp.check_material_codes()
+    assert lp._MAT_CODES_CHECKED
