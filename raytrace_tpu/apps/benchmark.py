@@ -53,10 +53,15 @@ def _uniforms(cam, sun_angle=0.6, seed=7, lr=(0, 0, 0)):
     )
 
 
-def config1_single_chunk(tracer="volume"):
-    """512x512 primary-only over a single loaded chunk (volume tracer: this
-    config exercises arbitrary volume content)."""
+def config1_single_chunk(tracer="volume_fast"):
+    """512x512 primary-only over a single loaded chunk.
+
+    This config exercises arbitrary volume content: the default
+    "volume_fast" tracer is the brick-pyramid general path
+    (ops/trace_vol_pallas.py); --tracer volume measures the exact
+    reference-DDA baseline it replaced."""
     from ..ops.trace_jax import fuse_volume, render_gbuffers
+    from ..ops.trace_vol_pallas import build_vol_tables, render_gbuffers_vol
     from ..world.generate import generate_chunk
 
     mats, mf = generate_chunk((0, 0, 0), seed=0)
@@ -69,16 +74,26 @@ def config1_single_chunk(tracer="volume"):
     cam = Camera(origin=[32.0, -40.0, 60.0])
     cam.pitch = -0.5
     uni = _uniforms(cam)
-    f = jax.jit(
-        lambda v, b, u: render_gbuffers(v, b, u, 512, 512, 1024, bounces=0)[
-            "albedo"
-        ]
-    )
-    _sync(f(fused, bn, uni))
+    if tracer == "volume":
+        f = jax.jit(
+            lambda v, b, u: render_gbuffers(v, b, u, 512, 512, 1024, bounces=0)[
+                "albedo"
+            ]
+        )
+        args = (fused, bn, uni)
+    else:
+        tables = build_vol_tables(fused)
+        f = jax.jit(
+            lambda v, t, b, u: render_gbuffers_vol(
+                v, t, b, u, 512, 512, 1024, bounces=0
+            )["albedo"]
+        )
+        args = (fused, tables, bn, uni)
+    _sync(f(*args))
     t0 = time.monotonic()
     n = 5
     for _ in range(n):
-        _sync(f(fused, bn, uni))
+        _sync(f(*args))
     dt = (time.monotonic() - t0) / n
     return _emit("1_single_chunk_primary", 512 * 512 / dt / 1e6, "Mrays/s")
 

@@ -1,0 +1,650 @@
+"""Fast general-volume tracer: Pallas brick pyramid + XLA brick resolve.
+
+Renders ARBITRARY 256^3 volume content (loaded worlds, user edits,
+``preloaded_volume``) at speed — the capability the reference's minefield
+DDA has on GPU (shaders/glsl/raytrace.comp:82-183) — without the
+per-voxel-gather-per-step pattern that limits ops/trace_jax.py to
+~1 Mray/s on TPU (see docs/DESIGN.md "Measured primitive costs").
+
+Architecture (TPU-first, not a port):
+
+  * ``build_vol_tables`` derives a 3-D occupancy pyramid from the volume's
+    solidity bits: per 8^3 brick an ``any``/``all`` bit pair, plus ``any``
+    bits at the 16/32/64-voxel levels.  The brick tables are tiny
+    (1024/128/16/2 packed i32 words) and live in VMEM; per-lane lookups
+    compose Mosaic's native 128-lane shuffle with row selects exactly like
+    the heightfield pyramid (trace_pallas._lut_many).
+  * The Pallas kernel runs a unified masked loop (no lax.cond — Mosaic):
+    classify the current voxel's bricks, skip 8/16/32/64 through provably
+    empty space, hit immediately inside all-solid bricks, and PARK when
+    entering a *mixed* brick (partially solid) — the only case that needs
+    per-voxel data.
+  * Parked rays are resolved OUTSIDE the kernel by plain XLA: one row
+    gather pulls each parked ray's 512-bit brick mask (16 i32 words from a
+    (32768, 16) HBM table — row gathers run at ~81 GB/s where per-element
+    gathers crawl), then a vectorized single-voxel DDA marches the ray
+    through the brick in registers (<= 22 crossings).  Rays that exit
+    unhit resume the kernel; ``trace_rays_vol`` alternates kernel passes
+    and resolves for a fixed number of rounds with the same
+    unfinished-first compaction sort the heightfield cascade uses.
+
+Hit semantics (positions, face normals, the 1e-4 boundary epsilon, the
+0.001 hit nudge, out-of-bounds => sky, toroidal texel = (world + 128) mod
+256 addressing) match ops/trace_jax.trace_rays / raytrace.comp; golden
+tests compare the two tracers on generated worlds AND on non-heightfield
+content (floating boxes, caves) that the heightfield fast path cannot
+represent.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import MAX_TRACE_STEPS, ROOT_BLOCK_SIZE
+from .trace_jax import MATERIAL_MASK, STEP_SHIFT
+from .trace_pallas import _lut, _lut_many
+
+_HALF = ROOT_BLOCK_SIZE // 2  # 128
+_N = ROOT_BLOCK_SIZE  # 256
+LANES = 128
+
+NB = _N // 8  # 32 bricks per side
+NUM_BRICKS = NB * NB * NB  # 32768
+DETAIL_WORDS = 512 // 32  # 16 i32 words of voxel bits per brick
+
+# Kernel statuses carried per lane (also the meta-word bit layout of the
+# wrapper: done | air<<1 | normal<<2 (3 bits) | parked<<5).
+_DONE, _AIR, _PARKED = 1, 2, 32
+
+
+@jax.jit
+def build_vol_tables(fused_flat: jax.Array) -> dict[str, jax.Array]:
+    """Occupancy pyramid for an arbitrary fused volume (trace_jax layout).
+
+    Returns dict:
+      'any8', 'all8' — (8, 128) i32; bit (b & 31) of word (b >> 5) is the
+          any/all-solid flag of brick b = ((tz>>3)*32 + (ty>>3))*32 + (tx>>3)
+          in texel space;
+      'any_hi' — (2, 128) i32; row 0 packs the 4096 16-level any bits
+          (128 words); row 1 packs the 512 32-level bits (16 words, lanes
+          0-15) and the 64 64-level bits (2 words, lanes 64-65);
+      'detail' — (32768, 16) i32 voxel-solidity bits per brick, bit
+          v & 31 of word v >> 5 with v = (lz<<6)|(ly<<3)|lx; stays in HBM
+          and is row-gathered by the XLA resolve step.
+
+    Rebuild whenever the volume changes (a streaming slice update); the
+    whole build is reductions + bit packs over 16.7M bools, ~1 ms-class on
+    TPU.  Solidity = minefield step == 0, matching trace_jax's hit test.
+    """
+    step = (fused_flat.reshape(_N, _N, _N) >> STEP_SHIFT).astype(jnp.int32)
+    solid = step == 0  # (z, y, x) texel space
+
+    def pool_any(x, k):
+        n = _N >> k
+        s = 1 << k
+        return x.reshape(n, s, n, s, n, s).any((1, 3, 5))
+
+    def pack_bits(bits_flat):
+        """Flat bool (32*k,) -> packed i32 (k,), bit i of word i >> 5."""
+        b = bits_flat.reshape(-1, 32).astype(jnp.uint32)
+        w = jnp.sum(b << jnp.arange(32, dtype=jnp.uint32)[None, :], axis=1)
+        return w.astype(jnp.int32)
+
+    any8 = pool_any(solid, 3)  # (32, 32, 32)
+    all8 = solid.reshape(NB, 8, NB, 8, NB, 8).all((1, 3, 5))
+    any16 = pool_any(solid, 4)  # (16,16,16) -> 4096 bits
+    any32 = pool_any(solid, 5)  # (8,8,8) -> 512 bits
+    any64 = pool_any(solid, 6)  # (4,4,4) -> 64 bits
+
+    t_any8 = pack_bits(any8.reshape(-1)).reshape(8, 128)
+    t_all8 = pack_bits(all8.reshape(-1)).reshape(8, 128)
+
+    hi = jnp.zeros((2, 128), jnp.int32)
+    hi = hi.at[0].set(pack_bits(any16.reshape(-1)))
+    hi = hi.at[1, :16].set(pack_bits(any32.reshape(-1)))
+    hi = hi.at[1, 64:66].set(pack_bits(any64.reshape(-1)))
+
+    # Voxel bits, brick-major: brick b's word w holds voxels
+    # v = w*32 .. w*32+31 with v = (lz<<6)|(ly<<3)|lx local to the brick.
+    sb = (
+        solid.reshape(NB, 8, NB, 8, NB, 8)
+        .transpose(0, 2, 4, 1, 3, 5)  # (bz, by, bx, lz, ly, lx)
+        .reshape(NUM_BRICKS, 512)
+    )
+    detail = pack_bits(sb.reshape(-1)).reshape(NUM_BRICKS, DETAIL_WORDS)
+
+    return {"any8": t_any8, "all8": t_all8, "any_hi": hi, "detail": detail}
+
+
+# ---------------------------------------------------------------------------
+# The Pallas coarse kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_vol_kernel(tile_rows: int, max_steps: int, unroll: int = 2):
+    S = tile_rows
+
+    def kernel(
+        iscal_ref,  # SMEM (8,) i32: lrx, lry, lrz
+        px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, n0_ref,  # (S,128)
+        any8_ref, all8_ref, hi_ref,  # pyramid tables
+        opx_ref, opy_ref, opz_ref, onormal_ref, ostatus_ref,
+    ):
+        lrf = (
+            jnp.float32(iscal_ref[0]),
+            jnp.float32(iscal_ref[1]),
+            jnp.float32(iscal_ref[2]),
+        )
+
+        dxv, dyv, dzv = dx_ref[:], dy_ref[:], dz_ref[:]
+        inv_len = jax.lax.rsqrt(
+            jnp.maximum(dxv * dxv + dyv * dyv + dzv * dzv, 1e-20)
+        )
+        dxv, dyv, dzv = dxv * inv_len, dyv * inv_len, dzv * inv_len
+
+        lpx = jnp.float32(1.0) / jnp.abs(dxv)
+        lpy = jnp.float32(1.0) / jnp.abs(dyv)
+        lpz = jnp.float32(1.0) / jnp.abs(dzv)
+        mulx = jnp.where(dxv > 0, jnp.float32(-1.0), jnp.float32(1.0))
+        muly = jnp.where(dyv > 0, jnp.float32(-1.0), jnp.float32(1.0))
+        mulz = jnp.where(dzv > 0, jnp.float32(-1.0), jnp.float32(1.0))
+        nx_id = jnp.where(dxv > 0, jnp.int32(1), jnp.int32(0))
+        ny_id = jnp.where(dyv > 0, jnp.int32(3), jnp.int32(2))
+        nz_id = jnp.where(dzv > 0, jnp.int32(5), jnp.int32(4))
+
+        any8 = any8_ref[:]
+        all8 = all8_ref[:]
+        hi = hi_ref[:]
+        hi16 = hi[0:1]
+        hi_hi = hi[1:2]
+
+        eps = jnp.float32(1e-4)
+
+        def boundary_dist(p, mul, lp, step_f):
+            m = jnp.mod((p + jnp.float32(_HALF)) * mul, step_f)
+            return (eps + m) * lp
+
+        def oob_of(px, py, pz):
+            return (
+                (jnp.abs(px - lrf[0]) >= jnp.float32(_HALF))
+                | (jnp.abs(py - lrf[1]) >= jnp.float32(_HALF))
+                | (jnp.abs(pz - lrf[2]) >= jnp.float32(_HALF))
+            )
+
+        def iteration(s):
+            px, py, pz = s["px"], s["py"], s["pz"]
+            act = s["status"] == 0
+
+            # Born-out-of-bounds rays (insta-exit padding, degenerate
+            # resumes) flag air before any voxel logic can mis-hit on the
+            # toroidally wrapped texel.
+            born_oob = act & oob_of(px, py, pz)
+            status = jnp.where(born_oob, jnp.int32(_DONE | _AIR), s["status"])
+            act = act & ~born_oob
+
+            xi = jnp.floor(px).astype(jnp.int32)
+            yi = jnp.floor(py).astype(jnp.int32)
+            zi = jnp.floor(pz).astype(jnp.int32)
+            tx = (xi + _HALF) & (_N - 1)
+            ty = (yi + _HALF) & (_N - 1)
+            tz = (zi + _HALF) & (_N - 1)
+
+            b = ((tz >> 3) * NB + (ty >> 3)) * NB + (tx >> 3)
+            wa, wf = _lut_many((any8, all8), b >> 5)
+            bbit = b & 31
+            a8 = (wa >> bbit) & 1
+            f8 = (wf >> bbit) & 1
+
+            i16 = ((tz >> 4) * 16 + (ty >> 4)) * 16 + (tx >> 4)
+            w16 = _lut(hi16, i16 >> 5)
+            a16 = (w16 >> (i16 & 31)) & 1
+            i32v = ((tz >> 5) * 8 + (ty >> 5)) * 8 + (tx >> 5)
+            i64v = ((tz >> 6) * 4 + (ty >> 6)) * 4 + (tx >> 6)
+            # 32- and 64-level words share row 1 of the packed hi table
+            # (lanes 0-15 and 64-65); one extra lookup round covers both.
+            w32 = _lut(hi_hi, i32v >> 5)
+            w64 = _lut(hi_hi, 64 + (i64v >> 5))
+            a32 = (w32 >> (i32v & 31)) & 1
+            a64 = (w64 >> (i64v & 31)) & 1
+
+            step = jnp.where(
+                a64 == 0,
+                64,
+                jnp.where(a32 == 0, 32, jnp.where(a16 == 0, 16, 8)),
+            )
+            hit_now = act & (f8 == 1)
+            mixed = act & (a8 == 1) & (f8 == 0)
+            status = jnp.where(hit_now, jnp.int32(_DONE), status)
+            status = jnp.where(mixed, jnp.int32(_PARKED), status)
+
+            move = act & ~hit_now & ~mixed
+            step_f = step.astype(jnp.float32)
+            lx = boundary_dist(px, mulx, lpx, step_f)
+            ly = boundary_dist(py, muly, lpy, step_f)
+            lz = boundary_dist(pz, mulz, lpz, step_f)
+            use_x = (lx < ly) & (lx < lz)
+            use_y = ~(lx < ly) & (ly < lz)
+            lmin = jnp.where(use_x, lx, jnp.where(use_y, ly, lz))
+            nrm = jnp.where(use_x, nx_id, jnp.where(use_y, ny_id, nz_id))
+
+            npx = jnp.where(move, px + dxv * lmin, px)
+            npy = jnp.where(move, py + dyv * lmin, py)
+            npz = jnp.where(move, pz + dzv * lmin, pz)
+            nnormal = jnp.where(move, nrm, s["normal"])
+            new_air = move & oob_of(npx, npy, npz)
+            status = jnp.where(new_air, jnp.int32(_DONE | _AIR), status)
+
+            return dict(
+                i=s["i"] + 1,
+                px=npx,
+                py=npy,
+                pz=npz,
+                normal=nnormal,
+                status=status,
+            )
+
+        def cond(s):
+            live = s["status"] == 0
+            return (s["i"] < max_steps) & (
+                jnp.sum(live.astype(jnp.int32)) > 0
+            )
+
+        def body(s):
+            for _ in range(unroll):
+                s = iteration(s)
+            return s
+
+        state = dict(
+            i=jnp.int32(0),
+            px=px_ref[:],
+            py=py_ref[:],
+            pz=pz_ref[:],
+            normal=n0_ref[:],
+            status=jnp.zeros((S, LANES), jnp.int32),
+        )
+        s = jax.lax.while_loop(cond, body, state)
+
+        opx_ref[:] = s["px"]
+        opy_ref[:] = s["py"]
+        opz_ref[:] = s["pz"]
+        onormal_ref[:] = s["normal"]
+        ostatus_ref[:] = s["status"]
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# XLA-side mixed-brick resolve
+# ---------------------------------------------------------------------------
+
+
+def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
+    """March parked rays through their mixed brick's voxel bits.
+
+    One row gather pulls each parked ray's 16-word brick mask; a fixed-trip
+    vectorized DDA (while_loop with all-resolved early exit, <= 23 voxel
+    crossings fit in an 8^3 brick) then tests the CURRENT voxel and steps
+    single-voxel boundaries — identical epsilon/normal conventions to the
+    kernel.  Returns updated (px, py, pz, normal, meta): a hit sets done,
+    an out-of-bounds exit sets done|air, and an unhit brick exit leaves the
+    ray live at the eps-past-the-wall resume point for the next kernel
+    round.
+    """
+    parked = (meta & _PARKED) != 0
+    lrf = lr.astype(jnp.float32)
+
+    def brick_of(pxv, pyv, pzv):
+        xi = jnp.floor(pxv).astype(jnp.int32)
+        yi = jnp.floor(pyv).astype(jnp.int32)
+        zi = jnp.floor(pzv).astype(jnp.int32)
+        tx = (xi + _HALF) & (_N - 1)
+        ty = (yi + _HALF) & (_N - 1)
+        tz = (zi + _HALF) & (_N - 1)
+        return ((tz >> 3) * NB + (ty >> 3)) * NB + (tx >> 3), tx, ty, tz
+
+    b0, _, _, _ = brick_of(px, py, pz)
+    b0 = jnp.where(parked, b0, 0)
+    words = detail[b0]  # (n, 16) row gather — the only volume memory touch
+
+    inv_len = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-20))
+    dxv, dyv, dzv = dx * inv_len, dy * inv_len, dz * inv_len
+    lpx = jnp.float32(1.0) / jnp.abs(dxv)
+    lpy = jnp.float32(1.0) / jnp.abs(dyv)
+    lpz = jnp.float32(1.0) / jnp.abs(dzv)
+    mulx = jnp.where(dxv > 0, jnp.float32(-1.0), jnp.float32(1.0))
+    muly = jnp.where(dyv > 0, jnp.float32(-1.0), jnp.float32(1.0))
+    mulz = jnp.where(dzv > 0, jnp.float32(-1.0), jnp.float32(1.0))
+    nx_id = jnp.where(dxv > 0, jnp.int32(1), jnp.int32(0))
+    ny_id = jnp.where(dyv > 0, jnp.int32(3), jnp.int32(2))
+    nz_id = jnp.where(dzv > 0, jnp.int32(5), jnp.int32(4))
+    eps = jnp.float32(1e-4)
+
+    def oob_of(pxv, pyv, pzv):
+        return (
+            (jnp.abs(pxv - lrf[0]) >= jnp.float32(_HALF))
+            | (jnp.abs(pyv - lrf[1]) >= jnp.float32(_HALF))
+            | (jnp.abs(pzv - lrf[2]) >= jnp.float32(_HALF))
+        )
+
+    # status: 0 live-in-brick, 1 hit, 2 exited brick, 3 exited out of bounds
+    state = dict(
+        i=jnp.int32(0),
+        px=px,
+        py=py,
+        pz=pz,
+        normal=normal,
+        status=jnp.where(parked, jnp.int32(0), jnp.int32(2)),
+    )
+
+    def cond(s):
+        return (s["i"] < 23) & jnp.any(parked & (s["status"] == 0))
+
+    def body(s):
+        act = parked & (s["status"] == 0)
+        b_now, tx, ty, tz = brick_of(s["px"], s["py"], s["pz"])
+        oob = oob_of(s["px"], s["py"], s["pz"])
+        inside = (b_now == b0) & ~oob
+        status = jnp.where(act & oob, jnp.int32(3), s["status"])
+        status = jnp.where(act & ~inside & ~oob, jnp.int32(2), status)
+        act = act & inside
+
+        v = ((tz & 7) << 6) | ((ty & 7) << 3) | (tx & 7)
+        wsel = v >> 5  # word index 0..15
+        word = jnp.zeros_like(v)
+        for w in range(DETAIL_WORDS):
+            word = jnp.where(wsel == w, words[:, w], word)
+        solid = ((word >> (v & 31)) & 1) == 1
+        hit = act & solid
+        status = jnp.where(hit, jnp.int32(1), status)
+        move = act & ~hit
+
+        one = jnp.float32(1.0)
+        lx = (eps + jnp.mod((s["px"] + jnp.float32(_HALF)) * mulx, one)) * lpx
+        ly = (eps + jnp.mod((s["py"] + jnp.float32(_HALF)) * muly, one)) * lpy
+        lz = (eps + jnp.mod((s["pz"] + jnp.float32(_HALF)) * mulz, one)) * lpz
+        use_x = (lx < ly) & (lx < lz)
+        use_y = ~(lx < ly) & (ly < lz)
+        lmin = jnp.where(use_x, lx, jnp.where(use_y, ly, lz))
+        nrm = jnp.where(use_x, nx_id, jnp.where(use_y, ny_id, nz_id))
+
+        return dict(
+            i=s["i"] + 1,
+            px=jnp.where(move, s["px"] + dxv * lmin, s["px"]),
+            py=jnp.where(move, s["py"] + dyv * lmin, s["py"]),
+            pz=jnp.where(move, s["pz"] + dzv * lmin, s["pz"]),
+            normal=jnp.where(move, nrm, s["normal"]),
+            status=status,
+        )
+
+    s = jax.lax.while_loop(cond, body, state)
+
+    # Fold resolve results back into the meta word.  Rays still status-0
+    # after 23 crossings cannot exist geometrically; treat as exited (the
+    # kernel re-classifies them next round at their current position).
+    hit = parked & (s["status"] == 1)
+    air = parked & (s["status"] == 3)
+    new_meta = jnp.where(
+        parked,
+        jnp.where(
+            hit,
+            jnp.int32(_DONE) | (s["normal"] << 2),
+            jnp.where(
+                air,
+                jnp.int32(_DONE | _AIR) | (s["normal"] << 2),
+                s["normal"] << 2,  # live again: parked bit cleared
+            ),
+        ),
+        meta,
+    )
+    return (
+        jnp.where(parked, s["px"], px),
+        jnp.where(parked, s["py"], py),
+        jnp.where(parked, s["pz"], pz),
+        jnp.where(parked, s["normal"], normal),
+        new_meta,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrapper: kernel/resolve rounds with compaction
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_steps", "tile_rows", "interpret", "rounds", "cap"),
+)
+def trace_rays_vol(
+    tables: dict,
+    fused_flat: jax.Array,
+    origin: jax.Array,
+    direction: jax.Array,
+    lr: jax.Array,
+    max_steps: int = MAX_TRACE_STEPS,
+    tile_rows: int = 16,
+    interpret: bool | None = None,
+    rounds: int = 6,
+    cap: int = 96,
+    active: jax.Array | None = None,
+) -> dict[str, jax.Array]:
+    """General-volume trace; drop-in for trace_jax.trace_rays.
+
+    ``tables`` from build_vol_tables for the same fused_flat.  Each round
+    runs the Pallas coarse kernel for up to ``cap`` brick-level steps, then
+    resolves every ray parked in a mixed brick with one row gather + an
+    in-register voxel march; an unfinished-first stable sort between rounds
+    packs straggler rays into few tiles (all-done suffix tiles exit at zero
+    iterations).  Rays still live after ``rounds`` rounds report
+    ``exhausted`` (the REPORT_ERROR pink-pixel analog, raytrace.comp:5-7);
+    on world-like content >99.9% of rays finish in 3 rounds.
+
+    ``active`` marks rays to trace at all (born-done otherwise), matching
+    trace_rays_hf's contract for skipped bounce legs.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    shape = origin.shape[:-1]
+    n = 1
+    for dim in shape:
+        n *= dim
+    per_tile = tile_rows * LANES
+    n_pad = -(-n // per_tile) * per_tile
+    grid = n_pad // per_tile
+    rows = grid * tile_rows
+
+    def flat(x, pad_value=0.0):
+        f = x.reshape(n)
+        f = jnp.pad(f, (0, n_pad - n), constant_values=pad_value)
+        return f.reshape(rows, LANES)
+
+    o = origin.reshape(n, 3).astype(jnp.float32)
+    d = direction.reshape(n, 3).astype(jnp.float32)
+    cx, cy = flat(o[:, 0]), flat(o[:, 1])
+    cz = flat(o[:, 2], 1e9)  # pad rays insta-exit (born OOB)
+    cdx, cdy = flat(d[:, 0]), flat(d[:, 1])
+    cdz = flat(d[:, 2], 1.0)
+    cmeta = jnp.zeros((rows, LANES), jnp.int32)
+    if active is not None:
+        cmeta = flat(
+            jnp.logical_not(active).reshape(n).astype(jnp.float32), 1.0
+        ).astype(jnp.int32)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES + (
+        jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    )
+    cidx = iota
+
+    lri = jnp.asarray(lr, jnp.int32)
+    iscal = jnp.concatenate([lri, jnp.zeros(5, jnp.int32)])
+
+    ray_spec = pl.BlockSpec(
+        (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    table_spec = lambda t: pl.BlockSpec(
+        t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    outf = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    outi = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+
+    def run_pass(ox, oy, oz, dxx, dyy, dzz, n0):
+        kernel = _make_vol_kernel(tile_rows, cap)
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [ray_spec] * 7
+            + [
+                table_spec(tables["any8"]),
+                table_spec(tables["all8"]),
+                table_spec(tables["any_hi"]),
+            ],
+            out_specs=[ray_spec] * 5,
+            out_shape=[outf, outf, outf, outi, outi],
+            interpret=interpret,
+        )(
+            iscal, ox, oy, oz, dxx, dyy, dzz, n0,
+            tables["any8"], tables["all8"], tables["any_hi"],
+        )
+
+    def rsort(key, ops):
+        out = jax.lax.sort(
+            (key.reshape(n_pad),) + tuple(x.reshape(n_pad) for x in ops),
+            num_keys=1,
+        )
+        return tuple(x.reshape(rows, LANES) for x in out[1:])
+
+    detail = tables["detail"]
+
+    for rnd in range(rounds):
+        cdone = cmeta & 1
+        if rnd > 0 or active is not None:
+            key = cdone * jnp.int32(n_pad) + iota
+            cx, cy, cz, cdx, cdy, cdz, cmeta, cidx = rsort(
+                key, (cx, cy, cz, cdx, cdy, cdz, cmeta, cidx)
+            )
+            cdone = cmeta & 1
+        fin = cdone == 1
+        iz = jnp.where(fin, jnp.float32(1e9), cz)
+        idz = jnp.where(fin, jnp.float32(1.0), cdz)
+        px, py, pz, nrm, status = run_pass(
+            cx, cy, iz, cdx, cdy, idz, (cmeta >> 2) & 7
+        )
+        meta_new = jnp.where(
+            status == 0,
+            # Kernel step budget exhausted mid-flight: stay live with the
+            # current resume state (counts against the round budget).
+            (nrm & 7) << 2,
+            ((nrm & 7) << 2) | status,
+        )
+        cx = jnp.where(fin, cx, px)
+        cy = jnp.where(fin, cy, py)
+        cz = jnp.where(fin, cz, pz)
+        cmeta = jnp.where(fin, cmeta, meta_new)
+
+        # Resolve this round's mixed-brick parks (flat views, no sort).
+        fx, fy, fz, _, fmeta = resolve_mixed(
+            detail,
+            cx.reshape(n_pad),
+            cy.reshape(n_pad),
+            cz.reshape(n_pad),
+            cdx.reshape(n_pad),
+            cdy.reshape(n_pad),
+            cdz.reshape(n_pad),
+            (cmeta.reshape(n_pad) >> 2) & 7,
+            cmeta.reshape(n_pad),
+            lri,
+        )
+        cx = fx.reshape(rows, LANES)
+        cy = fy.reshape(rows, LANES)
+        cz = fz.reshape(rows, LANES)
+        cmeta = fmeta.reshape(rows, LANES)
+
+    cx, cy, cz, cmeta = rsort(cidx, (cx, cy, cz, cmeta))
+
+    def unflat(x):
+        return x.reshape(n_pad)[:n].reshape(shape)
+
+    px = unflat(cx)
+    py = unflat(cy)
+    pz = unflat(cz)
+    normal = unflat((cmeta >> 2) & 7)
+    air = unflat((cmeta >> 1) & 1).astype(bool)
+    done = unflat(cmeta & 1).astype(bool)
+    hit = done & ~air
+
+    # Material at the hit voxel: ONE per-element toroidal gather over the
+    # fused volume, only after all rounds (non-hits gather index 0).
+    pos = jnp.stack([px, py, pz], axis=-1)
+    t = jnp.remainder(jnp.floor(pos + jnp.float32(_HALF)).astype(jnp.int32), _N)
+    lin = (t[..., 2] * _N + t[..., 1]) * _N + t[..., 0]
+    packed = jnp.where(
+        hit, fused_flat[jnp.where(hit, lin, 0)] & jnp.uint32(MATERIAL_MASK), 0
+    )
+
+    from . import shading
+
+    distance = jnp.linalg.norm(origin - pos, axis=-1)
+    nxv, nyv, nzv = shading.face_normal_vector(jnp, normal)
+    pos = pos + jnp.float32(0.001) * jnp.stack([nxv, nyv, nzv], axis=-1)
+    albedo = jnp.stack(
+        [
+            ((packed >> 14) & 0x7F).astype(jnp.float32) / 127.0,
+            ((packed >> 7) & 0x7F).astype(jnp.float32) / 127.0,
+            (packed & 0x7F).astype(jnp.float32) / 127.0,
+        ],
+        axis=-1,
+    )
+    return {
+        "position": pos,
+        "normal": normal,
+        "air": air,
+        "albedo": albedo,
+        "distance": distance,
+        "exhausted": ~done,
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "max_steps", "rows", "interpret", "bounces",
+    ),
+)
+def render_gbuffers_vol(
+    fused_flat: jax.Array,
+    tables: dict,
+    blue_noise: jax.Array,
+    uniforms: dict,
+    width: int,
+    height: int,
+    max_steps: int = MAX_TRACE_STEPS,
+    row0=0,
+    rows: int | None = None,
+    interpret: bool | None = None,
+    bounces: int = 2,
+) -> dict[str, jax.Array]:
+    """G-buffers via the fast general-volume tracer.
+
+    Same lighting integration as the other tracers (trace_jax
+    integrate_gbuffers) with trace_rays_vol plugged in; renders arbitrary
+    volume content (preloaded/edited worlds) at brick-pyramid speed.
+    """
+    from .trace_jax import integrate_gbuffers
+
+    lr_i = uniforms["lr"].astype(jnp.int32)
+
+    def trace(o, d, active=None):
+        return trace_rays_vol(
+            tables, fused_flat, o, d, lr_i, max_steps=max_steps,
+            interpret=interpret, active=active,
+        )
+
+    return integrate_gbuffers(
+        trace, blue_noise, uniforms, width, height, row0, rows, bounces
+    )

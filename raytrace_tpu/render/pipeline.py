@@ -78,8 +78,11 @@ def render_frame(
 ):
     """Trace + denoise + finalize as one fused device program.
 
-    `world` is the fused u32 volume for tracer="volume" (general path) or
-    the build_hf_tables dict for tracer="hf" (Pallas heightfield hot path).
+    `world` is the fused u32 volume for tracer="volume" (exact reference
+    DDA, slow), a (fused_volume, build_vol_tables dict) pair for
+    tracer="volume_fast" (brick-pyramid general path — renders arbitrary
+    volume content at speed), or the build_hf_tables dict for tracer="hf" /
+    "fused" (Pallas heightfield hot paths for the procedural world).
     Returns the final (H, W, 3) float32 frame, plus the raw G-buffer dict if
     requested.
     """
@@ -89,6 +92,14 @@ def render_frame(
         gb = render_gbuffers_fused(
             world, blue_noise, uniforms, width, height, max_steps, seed,
             unified=bool(int(os.environ.get("RAYTRACE_TPU_UNIFIED", "1"))),
+        )
+    elif tracer == "volume_fast":
+        from ..ops.trace_vol_pallas import render_gbuffers_vol
+
+        fused_flat, vol_tables = world
+        gb = render_gbuffers_vol(
+            fused_flat, vol_tables, blue_noise, uniforms, width, height,
+            max_steps,
         )
     elif tracer == "hf":
         from ..ops.trace_pallas import render_gbuffers_hf
@@ -124,16 +135,23 @@ class Pipeline:
         validate: bool | None = None,
     ):
         """tracer: "hf" (Pallas heightfield kernel, the fast path for
-        generated worlds), "fused" (single-launch whole-path kernel) or
-        "volume" (general fused-volume DDA).
+        generated worlds), "fused" (single-launch whole-path kernel),
+        "volume_fast" (brick-pyramid general path: renders whatever is in
+        the streamed volume — loaded or edited content — at speed) or
+        "volume" (exact reference fused-volume DDA, slow).
         preloaded_volume: optional fused u32 volume to skip initial
-        generation (tests, resumed sessions).
+        generation (tests, resumed sessions).  When a preloaded volume is
+        given with the default "fused" tracer, the pipeline switches to
+        "volume_fast": the heightfield tracers re-derive the procedural
+        world and would silently ignore the preloaded content.
         validate: per-frame finite checks + step-limiter pixel counts, the
         analog of the reference's debug-build-only Vulkan validation layers
         (constants.rs:11, debug.rs) and REPORT_ERROR pink pixels
         (raytrace.comp:5-7).  Forces a sync per frame — debug builds only.
         Defaults to the RAYTRACE_TPU_VALIDATE env var."""
-        assert tracer in ("hf", "fused", "volume")
+        assert tracer in ("hf", "fused", "volume", "volume_fast")
+        if preloaded_volume is not None and tracer == "fused":
+            tracer = "volume_fast"
         if validate is None:
             validate = bool(int(os.environ.get("RAYTRACE_TPU_VALIDATE", "0")))
         self.validate = validate
@@ -148,6 +166,8 @@ class Pipeline:
         self.blue_noise = jnp.asarray(get_blue_noise_f32())
         self._hf_tables = None
         self._hf_lr = None
+        self._vol_tables = None
+        self._vol_tables_for = None  # volume identity the tables match
 
     def teleport(self, camera: Camera) -> None:
         """Instantly recenter the world region on the camera (capture /
@@ -189,6 +209,16 @@ class Pipeline:
                 )
                 self._hf_lr = u.lr
             world = self._hf_tables
+        elif self.tracer == "volume_fast":
+            # The occupancy pyramid is a derived acceleration structure:
+            # rebuild whenever streaming replaced the volume array (every
+            # update produces a new donated array object).
+            if self._vol_tables_for is not self.streamer.volume:
+                from ..ops.trace_vol_pallas import build_vol_tables
+
+                self._vol_tables = build_vol_tables(self.streamer.volume)
+                self._vol_tables_for = self.streamer.volume
+            world = (self.streamer.volume, self._vol_tables)
         else:
             world = self.streamer.volume
 

@@ -1,0 +1,197 @@
+"""Fast general-volume tracer tests (ops/trace_vol_pallas.py).
+
+The defining property: it renders ARBITRARY volume content — including
+shapes the heightfield fast path cannot represent (floating boxes, caves,
+overhangs) — with the exact hit semantics of the reference DDA
+(trace_jax.trace_rays / raytrace.comp:82-183).  Interpret mode on CPU.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from raytrace_tpu.materials import PACKED_MATERIALS
+from raytrace_tpu.ops.trace_jax import camera_rays, fuse_volume, trace_rays
+from raytrace_tpu.ops.trace_vol_pallas import build_vol_tables, trace_rays_vol
+from raytrace_tpu.render.camera import Camera
+from raytrace_tpu.world.chunk import minefield_from_solid
+
+LR = jnp.zeros(3, jnp.int32)
+
+
+def _fuse(solid, material_id=5):
+    mats = np.where(solid, np.uint32(PACKED_MATERIALS[material_id]), np.uint32(0))
+    mf = np.asarray(minefield_from_solid(jnp.asarray(solid)))
+    return fuse_volume(jnp.asarray(mats), jnp.asarray(mf))
+
+
+@pytest.fixture(scope="module")
+def weird_world():
+    """Content impossible for the heightfield tracer: slab + floating box +
+    a cave tunnel under the surface."""
+    solid = np.zeros((256, 256, 256), bool)
+    solid[:100] = True
+    solid[140:150, 120:140, 120:140] = True
+    solid[90:100, 128:132, 128:132] = False
+    fused = _fuse(solid)
+    return fused, build_vol_tables(fused)
+
+
+def _cam_rays(origin, pitch, n=24):
+    cam = Camera(origin=list(origin))
+    cam.pitch = pitch
+    fwd, up, right = cam.scaled_basis()
+    uni = dict(
+        origin=jnp.asarray(cam.origin, jnp.float32),
+        forward=jnp.asarray(fwd, jnp.float32),
+        up=jnp.asarray(up, jnp.float32),
+        right=jnp.asarray(right, jnp.float32),
+    )
+    return camera_rays(uni, n, n)
+
+
+def _both(fused, tables, o, d, **kw):
+    want = {
+        k: np.asarray(v)
+        for k, v in trace_rays(fused, o, d, jnp.zeros(3, jnp.float32), 512).items()
+    }
+    got = {
+        k: np.asarray(v)
+        for k, v in trace_rays_vol(
+            tables, fused, o, d, LR, interpret=True, **kw
+        ).items()
+    }
+    return want, got
+
+
+def _assert_match(want, got, pos_atol=1e-3):
+    np.testing.assert_array_equal(got["air"], want["air"])
+    hit = ~want["air"]
+    np.testing.assert_array_equal(got["normal"][hit], want["normal"][hit])
+    dp = np.abs(got["position"] - want["position"]).max(-1)
+    assert dp[hit].max() < pos_atol, dp[hit].max()
+    np.testing.assert_allclose(got["albedo"][hit], want["albedo"][hit], atol=1e-5)
+    assert not got["exhausted"].any()
+
+
+def test_matches_reference_dda_on_arbitrary_content(weird_world):
+    fused, tables = weird_world
+    o, d = _cam_rays((0.0, -80.0, 40.0), -0.4)
+    want, got = _both(fused, tables, o, d)
+    hit = ~want["air"]
+    assert hit.sum() > 100  # scene actually visible
+    _assert_match(want, got)
+
+
+def test_floating_box_visible(weird_world):
+    """Rays aimed at the floating box must hit it (the heightfield path
+    cannot represent it at all) — and agree with the reference DDA."""
+    fused, tables = weird_world
+    # Box spans z 12..22, y -8..12, x -8..12 in world coords.
+    o = np.tile(np.array([[2.0, -60.0, 17.0]], np.float32), (16, 1))
+    d = np.tile(np.array([[0.0, 1.0, 0.0]], np.float32), (16, 1))
+    d[:, 0] = np.linspace(-0.12, 0.12, 16)
+    want, got = _both(fused, tables, jnp.asarray(o), jnp.asarray(d))
+    assert (~want["air"]).sum() >= 14  # most rays hit the box front face
+    _assert_match(want, got)
+
+
+@pytest.mark.slow
+def test_generated_world_matches(full_world_volume):
+    mats, mf = full_world_volume
+    fused = fuse_volume(jnp.asarray(mats), jnp.asarray(mf))
+    tables = build_vol_tables(fused)
+    o, d = _cam_rays((-30.0, -100.0, 60.0), -0.3)
+    want, got = _both(fused, tables, o, d)
+    # Terrain has knife-edge voxel corners where fp route differences can
+    # flip a face: require near-exact rather than exact agreement.
+    assert (got["air"] == want["air"]).mean() > 0.995
+    hit = ~want["air"] & ~got["air"]
+    assert (got["normal"][hit] == want["normal"][hit]).mean() > 0.99
+    dp = np.abs(got["position"] - want["position"]).max(-1)
+    assert (dp[hit] < 1e-2).mean() > 0.99
+    close = hit & (dp < 1e-3)
+    np.testing.assert_allclose(
+        got["albedo"][close], want["albedo"][close], atol=1e-5
+    )
+
+
+def test_sky_and_bounds(weird_world):
+    fused, tables = weird_world
+    o = jnp.asarray([[0.5, 0.5, 110.0]] * 2, jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]], jnp.float32)
+    got = {
+        k: np.asarray(v)
+        for k, v in trace_rays_vol(
+            tables, fused, o, d, LR, interpret=True, rounds=2
+        ).items()
+    }
+    assert got["air"].all()
+
+
+def test_active_mask_skips_rays(weird_world):
+    fused, tables = weird_world
+    o = jnp.asarray([[0.5, -60.0, 20.0]] * 4, jnp.float32)
+    d = jnp.asarray([[0.0, 1.0, -0.3]] * 4, jnp.float32)
+    active = jnp.asarray([True, False, True, False])
+    got = trace_rays_vol(
+        tables, fused, o, d, LR, interpret=True, active=active, rounds=2
+    )
+    ref = trace_rays_vol(tables, fused, o, d, LR, interpret=True, rounds=2)
+    # Active rays give real results; inactive rays' outputs are unspecified
+    # (caller masks them) but must not poison the active lanes.
+    np.testing.assert_allclose(
+        np.asarray(got["position"])[[0, 2]],
+        np.asarray(ref["position"])[[0, 2]],
+        atol=1e-5,
+    )
+
+
+def test_pyramid_table_invariants():
+    """any/all bit planes must be consistent with each other and the voxels."""
+    rng = np.random.default_rng(0)
+    solid = np.zeros((256, 256, 256), bool)
+    solid[rng.integers(0, 256, 500), rng.integers(0, 256, 500),
+          rng.integers(0, 256, 500)] = True
+    solid[:40, :64, :64] = True  # one fully solid area
+    fused = _fuse(solid)
+    t = {k: np.asarray(v) for k, v in build_vol_tables(fused).items()}
+
+    def unpack(words, n):
+        bits = (words.reshape(-1)[:, None] >> np.arange(32)[None, :]) & 1
+        return bits.reshape(-1)[:n].astype(bool)
+
+    any8 = unpack(t["any8"], 32768).reshape(32, 32, 32)
+    all8 = unpack(t["all8"], 32768).reshape(32, 32, 32)
+    want_any = solid.reshape(32, 8, 32, 8, 32, 8).any((1, 3, 5))
+    want_all = solid.reshape(32, 8, 32, 8, 32, 8).all((1, 3, 5))
+    np.testing.assert_array_equal(any8, want_any)
+    np.testing.assert_array_equal(all8, want_all)
+    any16 = unpack(t["any_hi"][0], 4096).reshape(16, 16, 16)
+    np.testing.assert_array_equal(
+        any16, solid.reshape(16, 16, 16, 16, 16, 16).any((1, 3, 5))
+    )
+    # Detail bits reconstruct the exact voxel grid.
+    det = t["detail"]
+    bits = ((det.reshape(-1)[:, None] >> np.arange(32)[None, :]) & 1).astype(bool)
+    vox = bits.reshape(32, 32, 32, 8, 8, 8)  # (bz,by,bx,lz,ly,lx)
+    vox = vox.transpose(0, 3, 1, 4, 2, 5).reshape(256, 256, 256)
+    np.testing.assert_array_equal(vox, solid)
+
+
+@pytest.mark.slow
+def test_pathological_content_reports_exhausted():
+    """A volume where every brick is mixed exhausts the round budget for
+    grazing rays without crashing (REPORT_ERROR pink-pixel analog)."""
+    z = np.arange(256)
+    solid = np.zeros((256, 256, 256), bool)
+    solid[(z[:, None, None] + np.arange(256)[None, :, None] * 0
+           + np.arange(256)[None, None, :]) % 9 == 0] = True
+    fused = _fuse(solid)
+    tables = build_vol_tables(fused)
+    o = jnp.asarray([[-120.0, -120.0, 10.3]], jnp.float32)
+    d = jnp.asarray([[1.0, 1.0, 0.001]], jnp.float32)
+    got = trace_rays_vol(tables, fused, o, d, LR, interpret=True, rounds=2)
+    # Either it found a hit within 2 rounds or it reported exhausted;
+    # the call must complete and stay finite.
+    assert np.isfinite(np.asarray(got["position"])).all()
