@@ -37,9 +37,36 @@ PAD = _MAX_REACH * max(DENOISE_SIZES)
 BAND = 32  # rows per grid step (amortizes the halo window copy ~4x)
 
 # VMEM budget guard: beyond this the resident padded planes + band windows
-# overflow VMEM (1080p measured: Mosaic compile failure) — the chain falls
-# back to the XLA formulation.
+# overflow VMEM (1080p measured: Mosaic compile failure) — larger frames run
+# the SAME chain over vertical column strips (see _strip_plan).
 MAX_VMEM_PIXELS = 1_400_000
+
+# Column-strip halo: the 6-pass chain's total influence radius is
+# sum(3 * size) = 117 px, so 128 real halo columns per side make a strip's
+# center columns bit-identical to the full-frame chain — contamination from
+# the strip's data edge (where per-pass edge-padding is a clone, not real
+# neighbors) never reaches them.  At true image edges the per-pass edge pad
+# IS the reference's per-pass clamp semantics, so edge strips are exact
+# too.  Same exactness argument as the cross-device row split
+# (parallel/tiles.py), turned 90 degrees.
+STRIP_HALO = 128
+assert STRIP_HALO > 3 * sum(DENOISE_SIZES)
+
+
+def _strip_plan(h0: int, w: int):
+    """Column strips (center_start, center_end) so every strip's worked
+    width (center + real halos) stays inside the VMEM pixel budget.
+    Returns None when no striping is needed."""
+    if h0 * w <= MAX_VMEM_PIXELS:
+        return None
+    sw = (MAX_VMEM_PIXELS // max(h0, 1) - 2 * STRIP_HALO) // 128 * 128
+    if sw <= 0:
+        return "xla"  # pathologically tall frame: XLA fallback
+    n = -(-w // sw)
+    bounds = []
+    for i in range(n):
+        bounds.append((i * sw, min((i + 1) * sw, w)))
+    return bounds
 
 
 def _make_pass_kernel(h: int, w: int, size: int, fin: bool = False):
@@ -170,6 +197,68 @@ def _pallas_pass(l0, l1, l2, dp, np_, h, w, size, interpret, fin_args=None):
     return out
 
 
+def _chain(l0, l1, l2, dp, np_, h, h0, w, interpret, fin_planes=None):
+    """The 6-pass schedule over one region (the whole frame or one strip).
+
+    l*: (h, w) unpadded planes; dp/np_: (h + 2*PAD, w + 2*PAD) padded
+    guides.  Between passes the BAND-alignment rows must stay clones of the
+    true last row (edge-clamp semantics) — re-replicated each pass, else
+    they evolve independently and bleed back via the next pass.
+    fin_planes (12 unpadded (h, w) planes) fuses finalize into the last
+    pass.
+    """
+    for si, size in enumerate(DENOISE_SIZES):
+        last = si + 1 == len(DENOISE_SIZES)
+        if h != h0:
+            l0, l1, l2 = (
+                jnp.pad(x[:h0], [(0, h - h0), (0, 0)], mode="edge")
+                for x in (l0, l1, l2)
+            )
+        l0, l1, l2 = _pallas_pass(
+            l0, l1, l2, dp, np_, h, w, size, interpret,
+            fin_args=fin_planes if (last and fin_planes is not None) else None,
+        )
+    return l0, l1, l2
+
+
+def _chain_striped(planar, depth_rp, normal_rp, h, h0, w, interpret,
+                   fin_planes=None):
+    """Run _chain per column strip (or once, unstriped) and reassemble.
+
+    planar: 3 row-padded (h, w) lighting planes; depth_rp/normal_rp:
+    row-padded-only guides ((h + 2*PAD, w)); fin_planes: 12 row-padded
+    (h, w) planes or None.  Strips carry STRIP_HALO real columns per
+    interior side, which exceeds the chain's total influence radius —
+    center columns are bit-identical to the unstriped chain (see
+    STRIP_HALO).
+    """
+    plan = _strip_plan(h0, w)
+    colpad = [(0, 0), (PAD, PAD)]
+
+    def run(a, b):
+        dp = jnp.pad(depth_rp[:, a:b], colpad, mode="edge")
+        np_ = jnp.pad(normal_rp[:, a:b], colpad, mode="edge")
+        fin = (
+            None if fin_planes is None else [p[:, a:b] for p in fin_planes]
+        )
+        return _chain(
+            planar[0][:, a:b], planar[1][:, a:b], planar[2][:, a:b],
+            dp, np_, h, h0, b - a, interpret, fin,
+        )
+
+    if plan is None:
+        return run(0, w)
+    outs = []
+    for cs, ce in plan:
+        a = max(0, cs - STRIP_HALO)
+        b = min(w, ce + STRIP_HALO)
+        s0, s1, s2 = run(a, b)
+        outs.append([x[:, cs - a : cs - a + (ce - cs)] for x in (s0, s1, s2)])
+    return tuple(
+        jnp.concatenate([o[i] for o in outs], axis=1) for i in range(3)
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def denoise_chain_pallas(
     lighting: jax.Array,
@@ -181,6 +270,10 @@ def denoise_chain_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     h0, w = lighting.shape[:2]
+    if _strip_plan(h0, w) == "xla":
+        from .denoise import denoise_chain
+
+        return denoise_chain(lighting, depth, normal)
 
     # Pad rows to a BAND multiple (edge rows only feed discarded bands).
     h = -(-h0 // BAND) * BAND
@@ -190,23 +283,12 @@ def denoise_chain_pallas(
         normal = jnp.pad(normal, [(0, h - h0), (0, 0)], mode="edge")
 
     planar = lighting.transpose(2, 0, 1)
-    l0, l1, l2 = planar[0], planar[1], planar[2]
-    cfg = [(PAD, PAD), (PAD, PAD)]
-    # Guides are pass-invariant: pad once.
-    dp = jnp.pad(depth.astype(jnp.float32) / 256.0, cfg, mode="edge")
-    np_ = jnp.pad(normal.astype(jnp.int32), cfg, mode="edge")
+    rowpad = [(PAD, PAD), (0, 0)]
+    # Guides are pass-invariant: row-pad once (columns pad per strip).
+    dpr = jnp.pad(depth.astype(jnp.float32) / 256.0, rowpad, mode="edge")
+    npr = jnp.pad(normal.astype(jnp.int32), rowpad, mode="edge")
 
-    for size in DENOISE_SIZES:
-        if h != h0:
-            # The BAND-alignment rows must stay clones of the true last row
-            # (edge-clamp semantics) — re-replicate between passes, else
-            # they evolve independently and bleed back via the next pass.
-            l0, l1, l2 = (
-                jnp.pad(x[:h0], [(0, h - h0), (0, 0)], mode="edge")
-                for x in (l0, l1, l2)
-            )
-        l0, l1, l2 = _pallas_pass(l0, l1, l2, dp, np_, h, w, size, interpret)
-
+    l0, l1, l2 = _chain_striped(planar, dpr, npr, h, h0, w, interpret)
     out = jnp.stack([l0, l1, l2], axis=-1)
     return out[:h0]
 
@@ -223,14 +305,15 @@ def denoise_finalize_pallas(
     curve, blue-noise dither) so the full-resolution lighting never makes an
     extra HBM round-trip through a separate finalize stage.  Output equals
     finalize_frame(..., denoise_chain(...)) exactly (golden-tested),
-    including the vertical flip.
+    including the vertical flip.  Frames beyond the VMEM pixel budget run
+    the same chain over column strips (see STRIP_HALO) — 1080p and 4K stay
+    on the Pallas path.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     lighting, depth, normal = gb["lighting"], gb["depth"], gb["normal"]
     h0, w = lighting.shape[:2]
-    if h0 * w > MAX_VMEM_PIXELS:
-        # Too large for the VMEM-resident chain: XLA formulation.
+    if _strip_plan(h0, w) == "xla":
         from .denoise import denoise_chain
         from .finalize import finalize_frame
 
@@ -252,10 +335,9 @@ def denoise_finalize_pallas(
     normal = rows_pad(normal)
 
     planar = lighting.transpose(2, 0, 1)
-    l0, l1, l2 = planar[0], planar[1], planar[2]
-    cfg = [(PAD, PAD), (PAD, PAD)]
-    dp = jnp.pad(depth.astype(jnp.float32) / 256.0, cfg, mode="edge")
-    np_ = jnp.pad(normal.astype(jnp.int32), cfg, mode="edge")
+    rowpad = [(PAD, PAD), (0, 0)]
+    dpr = jnp.pad(depth.astype(jnp.float32) / 256.0, rowpad, mode="edge")
+    npr = jnp.pad(normal.astype(jnp.int32), rowpad, mode="edge")
 
     # Finalize operands as unpadded planes (finalize.py full-frame path:
     # modular dither = tile of the blue-noise texture).
@@ -269,17 +351,8 @@ def denoise_finalize_pallas(
         planes += [p[0], p[1], p[2]]
     planes += [dither[0], dither[1], dither[2]]
 
-    for si, size in enumerate(DENOISE_SIZES):
-        last = si + 1 == len(DENOISE_SIZES)
-        if h != h0:
-            l0, l1, l2 = (
-                jnp.pad(x[:h0], [(0, h - h0), (0, 0)], mode="edge")
-                for x in (l0, l1, l2)
-            )
-        l0, l1, l2 = _pallas_pass(
-            l0, l1, l2, dp, np_, h, w, size, interpret,
-            fin_args=planes if last else None,
-        )
-
+    l0, l1, l2 = _chain_striped(
+        planar, dpr, npr, h, h0, w, interpret, fin_planes=planes
+    )
     frame = jnp.stack([l0, l1, l2], axis=-1)[:h0]
     return frame[::-1]  # window coords are upside-down (finalize.comp:59)

@@ -1,6 +1,7 @@
 """Denoiser and finalize tests against NumPy oracles + behavior properties."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from raytrace_tpu.ops.denoise import (
@@ -30,12 +31,14 @@ def test_single_pass_matches_oracle():
         np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sky_passthrough():
     lighting, depth, normal = _fake_gbuffers()
     out = np.asarray(denoise_chain(jnp.asarray(lighting), jnp.asarray(depth), jnp.asarray(normal)))
     np.testing.assert_array_equal(out[:4], lighting[:4])
 
 
+@pytest.mark.slow
 def test_denoise_smooths_uniform_depth():
     """On a flat surface the 6-pass chain must reduce noise variance a lot."""
     rng = np.random.default_rng(1)
@@ -101,6 +104,7 @@ def test_finalize_flips_vertically():
     assert out[-1].mean() > out[0].mean()  # ends up at the bottom
 
 
+@pytest.mark.slow
 def test_pallas_chain_matches_xla_chain():
     """The VMEM-resident Pallas 6-pass chain == the XLA chain (interpret)."""
     from raytrace_tpu.ops.denoise_pallas import denoise_chain_pallas
@@ -117,6 +121,7 @@ def test_pallas_chain_matches_xla_chain():
     np.testing.assert_allclose(got, want, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_pallas_denoise_finalize_matches_staged():
     """Fused last-pass finalize == denoise_chain + finalize_frame exactly."""
     from raytrace_tpu.ops.denoise_pallas import denoise_finalize_pallas
@@ -139,3 +144,45 @@ def test_pallas_denoise_finalize_matches_staged():
     )
     got = np.asarray(denoise_finalize_pallas(gb, bn))
     np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_striped_chain_matches_unstriped(monkeypatch):
+    """Column-strip mode (frames beyond the VMEM pixel budget) must equal
+    the unstriped Pallas chain bit-for-bit on the center AND edge columns.
+    Forced by shrinking the budget so a small frame strips 3 ways."""
+    from raytrace_tpu.ops import denoise_pallas as dnp
+
+    h, w = 64, 512
+    lighting, depth, normal = _fake_gbuffers(h, w, seed=3)
+    args = (jnp.asarray(lighting), jnp.asarray(depth), jnp.asarray(normal))
+    want = np.asarray(dnp.denoise_chain_pallas(*args, interpret=True))
+    # Budget forces sw = 128-col strips: h * (128 + 2*128) = 24576.
+    monkeypatch.setattr(dnp, "MAX_VMEM_PIXELS", h * (128 + 2 * dnp.STRIP_HALO))
+    assert dnp._strip_plan(h, w) == [(0, 128), (128, 256), (256, 384), (384, 512)]
+    # __wrapped__ bypasses the jit cache, which would otherwise replay the
+    # unstriped trace recorded for this shape before the monkeypatch.
+    got = np.asarray(dnp.denoise_chain_pallas.__wrapped__(*args, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_striped_finalize_matches_unstriped(monkeypatch):
+    """Strip mode through denoise_finalize_pallas (the production entry)."""
+    from raytrace_tpu.ops import denoise_pallas as dnp
+    from raytrace_tpu.utils.blue_noise import get_blue_noise_f32
+
+    h, w = 64, 384
+    lighting, depth, normal = _fake_gbuffers(h, w, seed=4)
+    rng = np.random.default_rng(5)
+    gb = {
+        "lighting": jnp.asarray(lighting),
+        "depth": jnp.asarray(depth),
+        "normal": jnp.asarray(normal),
+        "albedo": jnp.asarray(rng.random((h, w, 3), np.float32)),
+        "emission": jnp.zeros((h, w, 3), jnp.float32),
+        "fog": jnp.asarray(rng.random((h, w, 3), np.float32) * 0.5),
+    }
+    bn = jnp.asarray(get_blue_noise_f32())
+    want = np.asarray(dnp.denoise_finalize_pallas.__wrapped__(gb, bn, interpret=True))
+    monkeypatch.setattr(dnp, "MAX_VMEM_PIXELS", h * (128 + 2 * dnp.STRIP_HALO))
+    got = np.asarray(dnp.denoise_finalize_pallas.__wrapped__(gb, bn, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-6)
