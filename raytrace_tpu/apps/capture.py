@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
 import time
 from pathlib import Path
 
@@ -80,15 +81,24 @@ def run(out_dir="capture", width=512, height=512, limit=None, max_steps=2048,
         # is 12x less host-transfer than f32 over the remote tunnel.
         return jnp.clip(frame * 255.0, 0, 255).astype(jnp.uint8)
 
+    # PNG encoding runs on a worker pool: zlib compression is the slowest
+    # stage of the sweep (~3x the render time at 512²) and releases the
+    # GIL, so the device never waits on Pillow.  The main thread only does
+    # the device readback (keeps the one-view-deep pipeline deterministic);
+    # futures are drained at the end and re-raise any encode error.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 4))
+    futures = []
+
     def sink(i, cfg, frame_u8):
+        arr = np.asarray(frame_u8)  # device -> host sync
         if save:
             from ..testing.golden import save_png
 
             name = f"view_{i:05d}.png"
-            save_png(out / name, np.asarray(frame_u8))
+            futures.append(pool.submit(save_png, out / name, arr))
             manifest.append({**cfg, "file": name})
-        else:
-            np.asarray(frame_u8)  # sync
         tracker.advance()
         print(f"\r{tracker.status()}   ", end="", flush=True)
 
@@ -96,6 +106,7 @@ def run(out_dir="capture", width=512, height=512, limit=None, max_steps=2048,
     # view i, so the device renders while the host saves (the analog of the
     # reference's one-frame-deep fence, pipeline.rs:162-235).
     pending = None
+    t_start = time.monotonic()
     for i, cfg in enumerate(configs):
         frame_u8 = draw(cfg)
         if pending is not None:
@@ -110,11 +121,19 @@ def run(out_dir="capture", width=512, height=512, limit=None, max_steps=2048,
         pending = (i, cfg, frame_u8)
     if pending is not None:
         sink(*pending)
+    for f in futures:
+        f.result()  # propagate encode/write failures
+    pool.shutdown()
     print()
     if save:
         (out / "manifest.json").write_text(json.dumps(manifest, indent=1))
-    dt = time.monotonic() - t0
-    return max(len(configs) - 1, 1), dt
+    if len(configs) >= 2:
+        # Steady-state clock: t0 starts after view 0's sync, so the jit
+        # compiles are excluded and n-1 views were timed.
+        return len(configs) - 1, time.monotonic() - t0
+    # A single view has no steady-state window; fall back to whole-run
+    # timing (includes compile) rather than reporting an inflated rate.
+    return len(configs), time.monotonic() - t_start
 
 
 def main():

@@ -20,6 +20,7 @@ def cheap_pipeline(full_world_volume):
     )
 
 
+@pytest.mark.slow
 def test_capture_run_writes_pngs_and_manifest(cheap_pipeline, tmp_path):
     from raytrace_tpu.apps.capture import run
 

@@ -84,6 +84,7 @@ def test_unroll_invariance(frame_pair):
         np.testing.assert_array_equal(np.asarray(rolled[k]), fused[k])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("bounces", [0, 1])
 def test_reduced_bounce_matches_staged(bounces):
     """legs-capped fused paths == the staged tracer at the same bounce count."""

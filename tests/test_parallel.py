@@ -56,6 +56,7 @@ def test_tiled_frame_matches_single_device(world_volume):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import sys
     from pathlib import Path
@@ -71,6 +72,7 @@ def test_graft_entry_dryrun():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_tiled_frame_hf_tracer_matches_single_device():
     """The Pallas heightfield path under shard_map (band split) must equal
     the same tracer run single-device: the compaction cascade and the
@@ -98,6 +100,7 @@ def test_tiled_frame_hf_tracer_matches_single_device():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tiled_frame_fused_tracer_matches_single_device():
     """The fused whole-path kernel under shard_map (band split) must equal
     the same tracer run single-device — banded camera rays, banded

@@ -51,13 +51,19 @@ def test_seed_advances_and_wraps(pipeline):
     assert pipeline.uniforms.seed == 0
 
 
-def test_validate_mode_runs(capsys):
+@pytest.mark.slow
+def test_validate_mode_runs(full_world_volume, capsys):
     """Pipeline(validate=True) performs per-frame finite/limiter checks
     (the reference's debug-build validation layers, debug.rs:52-110)."""
     from raytrace_tpu.render.camera import Camera
     from raytrace_tpu.render.pipeline import Pipeline
 
-    p = Pipeline(width=32, height=32, max_steps=64, tracer="hf", validate=True)
+    mats, mf = full_world_volume
+    fused = fuse_volume(jnp.asarray(mats), jnp.asarray(mf))
+    p = Pipeline(
+        width=32, height=32, max_steps=64, tracer="hf", validate=True,
+        preloaded_volume=fused,
+    )
     cam = Camera(origin=[-30.0, -100.0, 60.0])
     cam.pitch = -0.3
     frame = p.draw_frame(cam, 0.6)
@@ -66,6 +72,7 @@ def test_validate_mode_runs(capsys):
     assert np.isfinite(np.asarray(frame)).all()
 
 
+@pytest.mark.slow
 def test_validate_mode_runs_and_reports(full_world_volume, capsys):
     """validate=True (the Vulkan-validation-layer analog) must sync, check
     finiteness, and count limiter pixels without changing the image."""

@@ -80,6 +80,7 @@ def test_streamed_slice_matches_regenerated_world(full_world_volume):
     assert s.get_render_offset() == (16, 0, 0)
 
 
+@pytest.mark.slow
 def test_teleport_volume_matches_streamed_addressing():
     """Teleporting to a slice-offset position produces a volume whose
     toroidal addressing matches direct generation: texel (w+128)%256 holds

@@ -34,6 +34,7 @@ def _trace(tables, o, d, max_steps=256):
     }
 
 
+@pytest.mark.slow
 def test_straight_down_hits_terrain_top(tables):
     xs, ys = np.meshgrid(
         np.arange(-60, 60, 11, dtype=np.float32) + 0.5,
