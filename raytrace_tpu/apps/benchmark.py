@@ -32,6 +32,29 @@ def _sync(x):
     return float(jnp.sum(x))
 
 
+def _time_chained(frame_of_step, n=5):
+    """Time n frames chained on-device (lax.fori_loop + one scalar sync).
+
+    A per-rep host sync would bill ~35 ms of tunnel latency per frame
+    (docs/DESIGN.md "Known costs"), drowning fast configs; chaining matches
+    bench.py's methodology.  frame_of_step(t_f32) must return an array
+    whose value depends on t (e.g. nudge the camera by t) so XLA cannot
+    hoist the loop-invariant frame out of the loop.
+    """
+
+    @jax.jit
+    def chain(t0):
+        def body(i, acc):
+            return acc + jnp.sum(frame_of_step(t0 + jnp.float32(0.03) * i))
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    _sync(chain(jnp.float32(0.0)))  # compile + warm
+    t0 = time.monotonic()
+    _sync(chain(jnp.float32(0.001)))
+    return (time.monotonic() - t0) / n
+
+
 def _emit(name, value, unit, extra=None):
     rec = {"config": name, "value": round(value, 2), "unit": unit}
     if extra:
@@ -74,27 +97,23 @@ def config1_single_chunk(tracer="volume_fast"):
     cam = Camera(origin=[32.0, -40.0, 60.0])
     cam.pitch = -0.5
     uni = _uniforms(cam)
+    def moved(t):
+        return dict(uni, origin=uni["origin"] + t * jnp.asarray([1.0, 1.0, 0.0]))
+
     if tracer == "volume":
-        f = jax.jit(
-            lambda v, b, u: render_gbuffers(v, b, u, 512, 512, 1024, bounces=0)[
-                "albedo"
-            ]
-        )
-        args = (fused, bn, uni)
+        def frame(t):
+            return render_gbuffers(
+                fused, bn, moved(t), 512, 512, 1024, bounces=0
+            )["albedo"]
     else:
         tables = build_vol_tables(fused)
-        f = jax.jit(
-            lambda v, t, b, u: render_gbuffers_vol(
-                v, t, b, u, 512, 512, 1024, bounces=0
+
+        def frame(t):
+            return render_gbuffers_vol(
+                fused, tables, bn, moved(t), 512, 512, 1024, bounces=0
             )["albedo"]
-        )
-        args = (fused, tables, bn, uni)
-    _sync(f(*args))
-    t0 = time.monotonic()
-    n = 5
-    for _ in range(n):
-        _sync(f(*args))
-    dt = (time.monotonic() - t0) / n
+
+    dt = _time_chained(frame)
     return _emit("1_single_chunk_primary", 512 * 512 / dt / 1e6, "Mrays/s")
 
 
@@ -108,28 +127,23 @@ def config2_world_1080p(tracer="fused"):
     cam.pitch = -0.3
     uni = _uniforms(cam)
 
-    @jax.jit
-    def f(t, b, u):
+    def frame(t):
+        u = dict(uni, origin=uni["origin"] + t * jnp.asarray([1.0, 1.0, 0.0]))
         if tracer == "fused":
             from ..ops.lighting_pallas import render_gbuffers_fused
 
             gb = render_gbuffers_fused(
-                t, b, u, 1920, 1080, MAX_TRACE_STEPS, 0, bounces=1
+                tables, bn, u, 1920, 1080, MAX_TRACE_STEPS, 0, bounces=1
             )
         else:
             gb = render_gbuffers_hf(
-                t, b, u, 1920, 1080, MAX_TRACE_STEPS, 0, bounces=1
+                tables, bn, u, 1920, 1080, MAX_TRACE_STEPS, 0, bounces=1
             )
         from ..ops.denoise_pallas import denoise_finalize_pallas
 
-        return denoise_finalize_pallas(gb, b)
+        return denoise_finalize_pallas(gb, bn)
 
-    _sync(f(tables, bn, uni))
-    t0 = time.monotonic()
-    n = 5
-    for _ in range(n):
-        _sync(f(tables, bn, uni))
-    dt = (time.monotonic() - t0) / n
+    dt = _time_chained(frame)
     rays = 1920 * 1080 * 3  # primary + sun + diffuse
     return _emit(
         "2_world_1080p_1bounce", rays / dt / 1e6, "Mrays/s", {"ms_per_frame": round(dt * 1e3, 1)}
@@ -137,16 +151,27 @@ def config2_world_1080p(tracer="fused"):
 
 
 def config3_flythrough(tracer="fused", frames=60):
+    from collections import deque
+
     pipeline = Pipeline(width=1024, height=1024, tracer=tracer)
     cam = Camera(origin=[-30.0, -100.0, 60.0])
     cam.pitch = -0.1
     # Warm up compile + initial streaming.
     for _ in range(4):
         _sync(pipeline.draw_frame(cam, 0.6))
+    # Two-frames-deep pipelining (the reference fences one frame deep,
+    # pipeline.rs:162-235; one extra slot hides the tunnel round trip):
+    # dispatch frame i, sync frame i-2 — measured time is true throughput,
+    # not per-frame dispatch latency.
+    inflight = deque()
     t0 = time.monotonic()
     for i in range(frames):
         cam.origin[0] += 1.2  # fly +x: crosses a slice boundary every ~13 frames
-        _sync(pipeline.draw_frame(cam, 0.6))
+        inflight.append(pipeline.draw_frame(cam, 0.6))
+        if len(inflight) > 2:
+            _sync(inflight.popleft())
+    while inflight:
+        _sync(inflight.popleft())
     dt = (time.monotonic() - t0) / frames
     return _emit(
         "3_flythrough_streaming", dt * 1e3, "ms/frame", {"fps": round(1 / dt, 2)}

@@ -428,20 +428,24 @@ def trace_rays_vol(
     max_steps: int = MAX_TRACE_STEPS,
     tile_rows: int = 16,
     interpret: bool | None = None,
-    rounds: int = 6,
+    rounds: int = 12,
     cap: int = 96,
     active: jax.Array | None = None,
 ) -> dict[str, jax.Array]:
     """General-volume trace; drop-in for trace_jax.trace_rays.
 
-    ``tables`` from build_vol_tables for the same fused_flat.  Each round
-    runs the Pallas coarse kernel for up to ``cap`` brick-level steps, then
-    resolves every ray parked in a mixed brick with one row gather + an
-    in-register voxel march; an unfinished-first stable sort between rounds
-    packs straggler rays into few tiles (all-done suffix tiles exit at zero
-    iterations).  Rays still live after ``rounds`` rounds report
-    ``exhausted`` (the REPORT_ERROR pink-pixel analog, raytrace.comp:5-7);
-    on world-like content >99.9% of rays finish in 3 rounds.
+    ``tables`` from build_vol_tables for the same fused_flat.  A round =
+    one Pallas coarse pass (up to ``cap`` brick-level steps) + one resolve
+    of every ray parked in a mixed brick (row gather + in-register voxel
+    march).  Rounds run inside a lax.while_loop that exits as soon as no
+    ray is live, so ``rounds`` is a worst-case bound, not a fixed cost:
+    world-like scenes pay for 2-3 iterations (measured: per-round cost is
+    dominated by the full-batch row gather, so early exit is the whole
+    ballgame), and content where a grazing ray skims many mixed bricks
+    still terminates.  Rays live after ``rounds`` rounds report
+    ``exhausted`` (the REPORT_ERROR pink-pixel analog, raytrace.comp:5-7).
+    Ray order is preserved throughout — no compaction sorts; finished
+    tiles exit the kernel at the first all-done check instead.
 
     ``active`` marks rays to trace at all (born-done otherwise), matching
     trace_rays_hf's contract for skipped bounce legs.
@@ -475,11 +479,6 @@ def trace_rays_vol(
             jnp.logical_not(active).reshape(n).astype(jnp.float32), 1.0
         ).astype(jnp.int32)
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES + (
-        jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
-    )
-    cidx = iota
-
     lri = jnp.asarray(lr, jnp.int32)
     iscal = jnp.concatenate([lri, jnp.zeros(5, jnp.int32)])
 
@@ -512,24 +511,14 @@ def trace_rays_vol(
             tables["any8"], tables["all8"], tables["any_hi"],
         )
 
-    def rsort(key, ops):
-        out = jax.lax.sort(
-            (key.reshape(n_pad),) + tuple(x.reshape(n_pad) for x in ops),
-            num_keys=1,
-        )
-        return tuple(x.reshape(rows, LANES) for x in out[1:])
-
     detail = tables["detail"]
 
-    for rnd in range(rounds):
-        cdone = cmeta & 1
-        if rnd > 0 or active is not None:
-            key = cdone * jnp.int32(n_pad) + iota
-            cx, cy, cz, cdx, cdy, cdz, cmeta, cidx = rsort(
-                key, (cx, cy, cz, cdx, cdy, cdz, cmeta, cidx)
-            )
-            cdone = cmeta & 1
-        fin = cdone == 1
+    def round_cond(s):
+        return (s["r"] < rounds) & jnp.any((s["meta"] & 1) == 0)
+
+    def round_body(s):
+        cx, cy, cz, cmeta = s["x"], s["y"], s["z"], s["meta"]
+        fin = (cmeta & 1) == 1
         iz = jnp.where(fin, jnp.float32(1e9), cz)
         idz = jnp.where(fin, jnp.float32(1.0), cdz)
         px, py, pz, nrm, status = run_pass(
@@ -547,7 +536,7 @@ def trace_rays_vol(
         cz = jnp.where(fin, cz, pz)
         cmeta = jnp.where(fin, cmeta, meta_new)
 
-        # Resolve this round's mixed-brick parks (flat views, no sort).
+        # Resolve this round's mixed-brick parks (flat views).
         fx, fy, fz, _, fmeta = resolve_mixed(
             detail,
             cx.reshape(n_pad),
@@ -560,12 +549,20 @@ def trace_rays_vol(
             cmeta.reshape(n_pad),
             lri,
         )
-        cx = fx.reshape(rows, LANES)
-        cy = fy.reshape(rows, LANES)
-        cz = fz.reshape(rows, LANES)
-        cmeta = fmeta.reshape(rows, LANES)
+        return dict(
+            r=s["r"] + 1,
+            x=fx.reshape(rows, LANES),
+            y=fy.reshape(rows, LANES),
+            z=fz.reshape(rows, LANES),
+            meta=fmeta.reshape(rows, LANES),
+        )
 
-    cx, cy, cz, cmeta = rsort(cidx, (cx, cy, cz, cmeta))
+    s = jax.lax.while_loop(
+        round_cond,
+        round_body,
+        dict(r=jnp.int32(0), x=cx, y=cy, z=cz, meta=cmeta),
+    )
+    cx, cy, cz, cmeta = s["x"], s["y"], s["z"], s["meta"]
 
     def unflat(x):
         return x.reshape(n_pad)[:n].reshape(shape)

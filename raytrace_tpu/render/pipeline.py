@@ -119,6 +119,50 @@ def render_frame(
     return frame
 
 
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "max_steps", "seed")
+)
+def _render_frame_fused_packed(
+    blue_noise: jax.Array,
+    packed: jax.Array,
+    width: int,
+    height: int,
+    max_steps: int,
+    seed: int,
+):
+    """The interactive fast path: ONE host->device transfer per frame.
+
+    `packed` is a (16,) f32 vector (origin 0:3, forward 3:6, up 6:9,
+    right 9:12, sun 12, frame-seed 13, lr.x 14, lr.z 15; lr.y is always 0
+    — the streamer never recenters along Y, pipeline.rs:175-179).  The
+    heightfield tables are rebuilt INSIDE the frame program (~0.2 ms of
+    VPU work) instead of by a separate host-triggered dispatch on region
+    moves, so a slice crossing causes no frame hitch and the whole frame
+    is a single dispatch through the tunnel.
+    """
+    from ..ops.lighting_pallas import render_gbuffers_fused
+    from ..ops.trace_pallas import build_hf_tables
+
+    lr = jnp.stack([packed[14], jnp.float32(0.0), packed[15]])
+    uniforms = dict(
+        origin=packed[0:3],
+        forward=packed[3:6],
+        up=packed[6:9],
+        right=packed[9:12],
+        sun_angle=packed[12],
+        seed=packed[13].astype(jnp.int32),
+        lr=lr,
+    )
+    tables = build_hf_tables(lr.astype(jnp.int32), seed=seed)
+    gb = render_gbuffers_fused(
+        tables, blue_noise, uniforms, width, height, max_steps, seed,
+        unified=bool(int(os.environ.get("RAYTRACE_TPU_UNIFIED", "1"))),
+    )
+    from ..ops.denoise_pallas import denoise_finalize_pallas
+
+    return denoise_finalize_pallas(gb, blue_noise)
+
+
 class Pipeline:
     """Stateful frame loop: streaming + uniforms + the jitted frame program."""
 
@@ -130,7 +174,7 @@ class Pipeline:
         max_steps: int = MAX_TRACE_STEPS,
         source: str = "device",
         storage=None,
-        tracer: str = "fused",
+        tracer: str | None = None,
         preloaded_volume=None,
         validate: bool | None = None,
     ):
@@ -140,18 +184,19 @@ class Pipeline:
         the streamed volume — loaded or edited content — at speed) or
         "volume" (exact reference fused-volume DDA, slow).
         preloaded_volume: optional fused u32 volume to skip initial
-        generation (tests, resumed sessions).  When a preloaded volume is
-        given with the default "fused" tracer, the pipeline switches to
-        "volume_fast": the heightfield tracers re-derive the procedural
-        world and would silently ignore the preloaded content.
+        generation (tests, resumed sessions).  With tracer=None (the
+        default) a preloaded volume selects "volume_fast" — the
+        heightfield tracers re-derive the procedural world and would
+        silently ignore the preloaded content; pass tracer="fused"
+        explicitly to use a preloaded volume only as a generation cache.
         validate: per-frame finite checks + step-limiter pixel counts, the
         analog of the reference's debug-build-only Vulkan validation layers
         (constants.rs:11, debug.rs) and REPORT_ERROR pink pixels
         (raytrace.comp:5-7).  Forces a sync per frame — debug builds only.
         Defaults to the RAYTRACE_TPU_VALIDATE env var."""
+        if tracer is None:
+            tracer = "volume_fast" if preloaded_volume is not None else "fused"
         assert tracer in ("hf", "fused", "volume", "volume_fast")
-        if preloaded_volume is not None and tracer == "fused":
-            tracer = "volume_fast"
         if validate is None:
             validate = bool(int(os.environ.get("RAYTRACE_TPU_VALIDATE", "0")))
         self.validate = validate
@@ -199,6 +244,23 @@ class Pipeline:
         u.seed = (u.seed + 1) % BLUE_NOISE_SIZE
         u.sun_angle = sun_angle
         u.lr = self.streamer.get_render_offset()
+
+        if self.tracer == "fused" and not self.validate:
+            # Interactive fast path: one packed upload, one dispatch; the
+            # table rebuild rides inside the frame program.
+            assert u.lr[1] == 0, u.lr  # streamer never recenters along Y
+            packed = np.array(
+                [*u.origin, *forward, *up, *right, u.sun_angle,
+                 float(u.seed), float(u.lr[0]), float(u.lr[2])],
+                np.float32,
+            )
+            frame = _render_frame_fused_packed(
+                self.blue_noise, jnp.asarray(packed),
+                self.width, self.height, self.max_steps, self.seed,
+            )
+            u.old_origin = u.origin
+            u.old_transform = _invert3(tuple(zip(*(right, up, forward))))
+            return frame
 
         if self.tracer in ("hf", "fused"):
             from ..ops.trace_pallas import build_hf_tables

@@ -152,7 +152,12 @@ class TerrainStreamer:
         """Build/load the initial 4^3-chunk region.  A preassembled fused
         volume may be supplied (tests, checkpoints)."""
         if volume is not None:
-            self.volume = jax.device_put(jnp.asarray(volume).reshape(-1))
+            # Private copy: streaming updates DONATE self.volume, which
+            # would invalidate the caller's array (and any other pipeline
+            # initialized from the same buffer) if we aliased it.
+            self.volume = jnp.array(
+                jnp.asarray(volume).reshape(-1), copy=True
+            )
             return self.volume
         origin_vox = tuple(c * CHUNK_SIZE for c in self.cpu_position.origin)
         if self.source == "device":

@@ -152,11 +152,11 @@ def test_striped_chain_matches_unstriped(monkeypatch):
     Forced by shrinking the budget so a small frame strips 3 ways."""
     from raytrace_tpu.ops import denoise_pallas as dnp
 
-    h, w = 64, 512
+    h, w = 32, 512
     lighting, depth, normal = _fake_gbuffers(h, w, seed=3)
     args = (jnp.asarray(lighting), jnp.asarray(depth), jnp.asarray(normal))
     want = np.asarray(dnp.denoise_chain_pallas(*args, interpret=True))
-    # Budget forces sw = 128-col strips: h * (128 + 2*128) = 24576.
+    # Budget forces sw = 128-col strips.
     monkeypatch.setattr(dnp, "MAX_VMEM_PIXELS", h * (128 + 2 * dnp.STRIP_HALO))
     assert dnp._strip_plan(h, w) == [(0, 128), (128, 256), (256, 384), (384, 512)]
     # __wrapped__ bypasses the jit cache, which would otherwise replay the
@@ -170,7 +170,7 @@ def test_striped_finalize_matches_unstriped(monkeypatch):
     from raytrace_tpu.ops import denoise_pallas as dnp
     from raytrace_tpu.utils.blue_noise import get_blue_noise_f32
 
-    h, w = 64, 384
+    h, w = 32, 512
     lighting, depth, normal = _fake_gbuffers(h, w, seed=4)
     rng = np.random.default_rng(5)
     gb = {
@@ -184,5 +184,6 @@ def test_striped_finalize_matches_unstriped(monkeypatch):
     bn = jnp.asarray(get_blue_noise_f32())
     want = np.asarray(dnp.denoise_finalize_pallas.__wrapped__(gb, bn, interpret=True))
     monkeypatch.setattr(dnp, "MAX_VMEM_PIXELS", h * (128 + 2 * dnp.STRIP_HALO))
+    assert len(dnp._strip_plan(h, w)) == 4  # the patched budget really strips
     got = np.asarray(dnp.denoise_finalize_pallas.__wrapped__(gb, bn, interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-6)

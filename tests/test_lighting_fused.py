@@ -63,6 +63,7 @@ def test_primary_gbuffers_match(frame_pair):
     np.testing.assert_allclose(staged["fog"], fused["fog"], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_unroll_invariance(frame_pair):
     """unroll=2 must produce bit-identical G-buffers (masked no-op bodies)."""
     W = H = 64

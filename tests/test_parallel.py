@@ -32,6 +32,7 @@ def test_eight_virtual_devices():
     assert len(jax.devices()) >= 8
 
 
+@pytest.mark.slow
 def test_tiled_frame_matches_single_device(world_volume):
     """The sharded pipeline (band split + ppermute halo exchange) must equal
     the single-device pipeline exactly — the halo exchange is not an

@@ -126,3 +126,25 @@ def test_committed_golden_frame():
     ]
     stats = compare_images(frame, want)
     assert stats["ok"], stats
+
+
+def test_packed_fast_path_matches_legacy(full_world_volume):
+    """The interactive single-dispatch packed path (tracer='fused',
+    validate=False) must produce the same frame as the legacy multi-upload
+    path (validate=True uses it)."""
+    from raytrace_tpu.render.camera import Camera
+    from raytrace_tpu.render.pipeline import Pipeline
+
+    mats, mf = full_world_volume
+    fused = fuse_volume(jnp.asarray(mats), jnp.asarray(mf))
+    cam = Camera(origin=[-30.0, -100.0, 60.0])
+    cam.pitch = -0.3
+
+    frames = []
+    for validate in (False, True):
+        p = Pipeline(
+            width=32, height=32, max_steps=64, tracer="fused",
+            validate=validate, preloaded_volume=fused,
+        )
+        frames.append(np.asarray(p.draw_frame(cam, 0.6)))
+    np.testing.assert_allclose(frames[0], frames[1], atol=1e-5)
