@@ -54,11 +54,17 @@ def main():
     for _ in range(WARMUP):
         sync(pipeline.draw_frame(cam, 0.6))
     uniforms = pipeline.uniforms.as_device_dict()
-    world = (
-        pipeline._hf_tables
-        if tracer in ("hf", "fused")
-        else pipeline.streamer.volume
-    )
+    if tracer in ("hf", "fused"):
+        # Build the heightfield tables for the converged region directly
+        # (the pipeline's interactive fast path folds the table build into
+        # its own frame program and keeps no host-side table cache).
+        from raytrace_tpu.ops.trace_pallas import build_hf_tables
+
+        world = build_hf_tables(
+            jnp.asarray(pipeline.uniforms.lr, jnp.int32), seed=pipeline.seed
+        )
+    else:
+        world = pipeline.streamer.volume
 
     @jax.jit
     def animation(uniforms, sun0):

@@ -32,26 +32,23 @@ def _sync(x):
     return float(jnp.sum(x))
 
 
-def _time_chained(frame_of_step, n=5):
-    """Time n frames chained on-device (lax.fori_loop + one scalar sync).
+def _time_chained(frame_of_step, n=20):
+    """Time n frames as an async dispatch train with ONE final sync.
 
     A per-rep host sync would bill ~35 ms of tunnel latency per frame
-    (docs/DESIGN.md "Known costs"), drowning fast configs; chaining matches
-    bench.py's methodology.  frame_of_step(t_f32) must return an array
-    whose value depends on t (e.g. nudge the camera by t) so XLA cannot
-    hoist the loop-invariant frame out of the loop.
+    (docs/DESIGN.md "Known costs"), drowning fast configs.  A fori_loop
+    chain avoids that but measured ~2x slower per frame than the
+    production dispatch pattern (loop-carried serialization defeats XLA's
+    inter-frame overlap), so this times what draw_frame actually does:
+    dispatch n frames back-to-back, block once at the end.
     """
-
-    @jax.jit
-    def chain(t0):
-        def body(i, acc):
-            return acc + jnp.sum(frame_of_step(t0 + jnp.float32(0.03) * i))
-
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
-
-    _sync(chain(jnp.float32(0.0)))  # compile + warm
+    f = jax.jit(lambda t: jnp.sum(frame_of_step(t)))
+    _sync(f(jnp.float32(0.0)))  # compile + warm
     t0 = time.monotonic()
-    _sync(chain(jnp.float32(0.001)))
+    out = None
+    for i in range(n):
+        out = f(jnp.float32(0.001 + 0.03 * i))
+    _sync(out)
     return (time.monotonic() - t0) / n
 
 

@@ -24,6 +24,54 @@ from ..render.pipeline import Pipeline
 from ..utils.perf import RingBufferAverage
 
 
+class TerminalInput:
+    """Live keyboard input from a raw-mode terminal (the headless stand-in
+    for the reference's winit KeyboardInput events, main.rs:20-37).
+
+    A terminal delivers key-down bytes only (no key-up), so each received
+    key counts as held for `hold_frames` frames — long enough that OS
+    key-repeat (~30 Hz) keeps a held key continuously active at interactive
+    frame rates.  ESC or Ctrl-C exits.
+    """
+
+    KEYS = "wasdqerf"
+
+    def __init__(self, hold_frames: int = 4):
+        import sys
+        import termios
+        import tty
+
+        self._fd = sys.stdin.fileno()
+        self._saved = termios.tcgetattr(self._fd)
+        tty.setcbreak(self._fd)
+        self._hold = {k: 0 for k in self.KEYS}
+        self._hold_frames = hold_frames
+        self.quit = False
+
+    def restore(self) -> None:
+        import termios
+
+        termios.tcsetattr(self._fd, termios.TCSADRAIN, self._saved)
+
+    def pump(self, controls) -> None:
+        """Drain pending bytes, press newly-active keys, release expired."""
+        import select
+        import sys
+
+        while select.select([sys.stdin], [], [], 0)[0]:
+            ch = sys.stdin.read(1)
+            if ch in ("\x1b", "\x03"):  # ESC / Ctrl-C
+                self.quit = True
+            elif ch.lower() in self._hold:
+                self._hold[ch.lower()] = self._hold_frames
+        for key, frames in self._hold.items():
+            if frames > 0:
+                controls.on_pressed(key)
+                self._hold[key] = frames - 1
+            else:
+                controls.on_released(key)
+
+
 def run(
     args=None,
     frames: int = 120,
@@ -34,11 +82,13 @@ def run(
     script=None,
     max_steps: int = 2048,
     quiet: bool = False,
+    interactive: bool = False,
 ):
     """Run the frame loop; returns (last_frame, avg_ms, max_ms).
 
     `script` is an optional list of (frame_index, event, key) tuples, e.g.
-    [(0, "press", "w"), (60, "release", "w")].
+    [(0, "press", "w"), (60, "release", "w")].  `interactive` reads live
+    w/a/s/d/q/e/r/f keys from the terminal instead (ESC quits).
     """
     game = Game(args)
     t0 = time.monotonic()
@@ -46,12 +96,35 @@ def run(
     if not quiet:
         print(f"Created renderer (and world) in {time.monotonic() - t0:.2f}s.")
 
+    term = TerminalInput() if interactive else None
     script = sorted(script or [], key=lambda e: e[0])
-    script_pos = 0
     perf = RingBufferAverage(120)
+    frame = None
+    try:
+        frame = _loop(
+            game, pipeline, frames, dump_every, out_dir, script, quiet,
+            perf, term,
+        )
+    finally:
+        if term is not None:
+            term.restore()
+    # Sync the last frame so timing is honest.
+    frame = np.asarray(frame)
+    if not quiet:
+        print()
+    return frame, perf.average(), perf.max()
+
+
+def _loop(game, pipeline, frames, dump_every, out_dir, script, quiet, perf,
+          term):
+    script_pos = 0
     frame_timer = time.monotonic()
     frame = None
     for i in range(frames):
+        if term is not None:
+            term.pump(game.controls)
+            if term.quit:
+                break
         while script_pos < len(script) and script[script_pos][0] <= i:
             _, event, key = script[script_pos]
             (game.controls.on_pressed if event == "press" else game.controls.on_released)(key)
@@ -77,11 +150,7 @@ def run(
 
             Path(out_dir).mkdir(parents=True, exist_ok=True)
             save_png(Path(out_dir) / f"frame_{i:05d}.png", np.asarray(frame))
-    # Sync the last frame so timing is honest.
-    frame = np.asarray(frame)
-    if not quiet:
-        print()
-    return frame, perf.average(), perf.max()
+    return frame
 
 
 def main():
@@ -92,11 +161,20 @@ def main():
     ap.add_argument("--dump-every", type=int, default=0)
     ap.add_argument("--out", default="frames")
     ap.add_argument("--max-steps", type=int, default=2048)
+    ap.add_argument(
+        "--interactive", action="store_true",
+        help="live w/a/s/d/q/e movement + r/f sun from the terminal "
+        "(ESC quits); replaces the default scripted flight",
+    )
     ns = ap.parse_args()
     w, h = map(int, ns.size.split("x"))
     camera = ns.camera if len(ns.camera) == 6 else None
     # Default scripted flight: forward with a slow sun sweep.
-    script = [(0, "press", "w"), (0, "press", "r"), (40, "release", "r")]
+    script = (
+        None
+        if ns.interactive
+        else [(0, "press", "w"), (0, "press", "r"), (40, "release", "r")]
+    )
     run(
         camera,
         frames=ns.frames,
@@ -106,6 +184,7 @@ def main():
         out_dir=ns.out,
         script=script,
         max_steps=ns.max_steps,
+        interactive=ns.interactive,
     )
 
 

@@ -142,6 +142,7 @@ def _make_kernel(
     unroll: int = 1,
     lazy_t: bool = False,
     legs: int = 5,
+    ref_state: bool = False,
 ):
     S = tile_rows
 
@@ -156,6 +157,7 @@ def _make_kernel(
         hsub_ref, h3_ref, ca_ref, cb_ref, cc_ref, cd_ref,  # region tables
         opx_ref, opy_ref, opz_ref, odx_ref, ody_ref, odz_ref,
         oqx_ref, oqy_ref, oqz_ref, opd_ref, ometa_ref,
+        *scratch_refs,  # ref_state mode: see _REFSTATE_SCRATCH
     ):
         r0x = iscal_ref[0]
         r0y = iscal_ref[1]
@@ -210,9 +212,34 @@ def _make_kernel(
             e8 = ((zi >> 3) << 3) >= h8
             return jnp.where(e32, 32, jnp.where(e16, 16, jnp.where(e8, 8, 0)))
 
-        def boundary_dist(p, dv, step_f):
+        def axis_terms(dv):
+            """Per-axis sign/reciprocal, shared by every boundary distance
+            of the iteration (each was previously recomputed per call —
+            ~6 divisions/iteration on the hot path)."""
             mul = jnp.where(dv > 0, jnp.float32(-1.0), jnp.float32(1.0))
             lp = jnp.float32(1.0) / jnp.abs(dv)
+            return mul, lp
+
+        def bdist(p, mul, lp, step_f, inv_step):
+            """(eps + shifted mod step) * lp with the mod as an exact
+            multiply: steps are powers of two, so x * 2^-k == x / 2^k
+            bit-for-bit and jnp.mod's runtime division is avoided."""
+            shifted = (p + jnp.float32(_HALF)) * mul
+            m = shifted - jnp.floor(shifted * inv_step) * step_f
+            return (eps + m) * lp
+
+        def inv_of_step(step):
+            """Exact reciprocal of the power-of-two step via selects."""
+            return jnp.where(
+                step == 32, jnp.float32(1 / 32),
+                jnp.where(step == 16, jnp.float32(1 / 16),
+                          jnp.where(step == 8, jnp.float32(1 / 8),
+                                    jnp.where(step == 4, jnp.float32(1 / 4),
+                                              jnp.float32(1.0)))),
+            )
+
+        def boundary_dist(p, dv, step_f):
+            mul, lp = axis_terms(dv)
             m = jnp.mod((p + jnp.float32(_HALF)) * mul, step_f)
             return (eps + m) * lp
 
@@ -490,13 +517,17 @@ def _make_kernel(
             # iteration; the rest move to the next boundary now.
             act = live & ~completed
             step_f = jnp.maximum(step, 1).astype(jnp.float32)
-            lxc = boundary_dist(px, s["dx"], step_f)
-            lyc = boundary_dist(py, s["dy"], step_f)
-            lzc = boundary_dist(pz, s["dz"], step_f)
-            lxf = boundary_dist(px, s["dx"], jnp.float32(1.0))
-            lyf = boundary_dist(py, s["dy"], jnp.float32(1.0))
+            inv_step = inv_of_step(step)
+            mulx, lpx = axis_terms(s["dx"])
+            muly, lpy = axis_terms(s["dy"])
+            mulz, lpz = axis_terms(s["dz"])
+            one = jnp.float32(1.0)
+            lxc = bdist(px, mulx, lpx, step_f, inv_step)
+            lyc = bdist(py, muly, lpy, step_f, inv_step)
+            lzc = bdist(pz, mulz, lpz, step_f, inv_step)
+            lxf = bdist(px, mulx, lpx, one, one)
+            lyf = bdist(py, muly, lpy, one, one)
             ztop = hcol.astype(jnp.float32)
-            lpz = jnp.float32(1.0) / jnp.abs(s["dz"])
             lzf = jnp.where(
                 (s["dz"] < 0) & (pz >= ztop),
                 (eps + (pz - ztop)) * lpz,
@@ -506,6 +537,185 @@ def _make_kernel(
             ly = jnp.where(fine, lyf, lyc)
             lz = jnp.where(fine, lzf, lzc)
             return move(s, lx, ly, lz, act)
+
+        if unified and ref_state:
+            # --- ref-state variant: state lives in VMEM refs so pl.when
+            # can SKIP whole blocks per tile-iteration ---------------------
+            # Gate A skips the corner-table gather + exact height eval when
+            # no live lane is in fine space (straggler tiles spend most
+            # iterations in coarse sky travel); gate B skips the ~130-op
+            # leg-transition block when no lane completed.  Results are
+            # bit-identical: skipped blocks' stale scratch values are only
+            # ever read under lane masks that are all-false when the block
+            # was skipped (completed_hit requires `fine`, lzf applies only
+            # to fine lanes).
+            hcol_s, matc_s, leg_s, cn_s, pn_s, nn_s, acc_s = scratch_refs
+
+            # Position/direction/base/pd state lives directly in the output
+            # refs; int fields in scratch.  Initialize once.
+            opx_ref[:] = px_ref[:]
+            opy_ref[:] = py_ref[:]
+            opz_ref[:] = pz_ref[:]
+            odx_ref[:] = dx_ref[:]
+            ody_ref[:] = dy_ref[:]
+            odz_ref[:] = dz_ref[:]
+            oqx_ref[:] = qx_ref[:]
+            oqy_ref[:] = qy_ref[:]
+            oqz_ref[:] = qz_ref[:]
+            opd_ref[:] = pd_ref[:]
+            leg_s[:] = meta0 & 7
+            cn_s[:] = (meta0 >> 3) & 7
+            pn_s[:] = (meta0 >> 6) & 7
+            nn_s[:] = (meta0 >> 9) & 7
+            acc_s[:] = meta0 >> 12
+            hcol_s[:] = jnp.full((S, LANES), 1 << 20, jnp.int32)
+            matc_s[:] = izero
+
+            def sub_iteration(do_transition):
+                px, py, pz = opx_ref[:], opy_ref[:], opz_ref[:]
+                leg = leg_s[:]
+                live = leg < 5
+                xi = jnp.floor(px).astype(jnp.int32)
+                yi = jnp.floor(py).astype(jnp.int32)
+                zi = jnp.floor(pz).astype(jnp.int32)
+                rx = jnp.clip(xi - r0x, 0, ROOT_BLOCK_SIZE - 1)
+                ry = jnp.clip(yi - r0y, 0, ROOT_BLOCK_SIZE - 1)
+                i3 = (ry >> 3) * 32 + (rx >> 3)
+                w, word = _lut_many((h3, hsub), i3)
+                h8 = w & 511
+                e32 = ((zi >> 5) << 5) >= ((w >> 18) & 511)
+                e16 = ((zi >> 4) << 4) >= ((w >> 9) & 511)
+                e8 = ((zi >> 3) << 3) >= h8
+                step = jnp.where(e32, 32, jnp.where(e16, 16, jnp.where(e8, 8, 0)))
+                quad = (((ry >> 2) & 1) << 1) | ((rx >> 2) & 1)
+                delta = (word >> (quad << 3)) & 255
+                e4 = ((zi >> 2) << 2) >= (h8 - delta)
+                step = jnp.where(step == 0, jnp.where(e4, 4, 0), step)
+                fine = step == 0
+
+                @pl.when(jnp.any(fine & live))
+                def _():
+                    ca, cb, cc, cd = _lut_many((cA, cB, cC, cD), i3)
+                    hcol_s[:] = jnp.maximum(
+                        _height_from_corners(ca, cb, cc, cd, xi, yi, seed), 0
+                    )
+                    if do_transition:
+                        matc_s[:] = _mat_code(xi, yi, zi, seed)
+
+                hcol = hcol_s[:]
+                oob = oob_of(px, py, pz)
+                completed_air = live & oob
+                # completed_hit requires `fine`: solid voxels always
+                # classify fine (the pyramid never reports them empty), so
+                # the extra conjunct is a no-op for real hits and makes
+                # stale hcol values harmless when gate A was skipped.
+                completed_hit = live & ~oob & fine & (zi < hcol)
+                completed = completed_air | completed_hit
+
+                if do_transition:
+                    @pl.when(jnp.any(completed))
+                    def _():
+                        s_now = dict(
+                            px=px, py=py, pz=pz,
+                            dx=odx_ref[:], dy=ody_ref[:], dz=odz_ref[:],
+                            qx=oqx_ref[:], qy=oqy_ref[:], qz=oqz_ref[:],
+                            leg=leg, cn=cn_s[:], pn=pn_s[:], nn=nn_s[:],
+                            acc=acc_s[:], pd=opd_ref[:], i=jnp.int32(0),
+                            parked=izero,
+                        )
+                        ns = apply_transition(
+                            s_now, completed_air, completed_hit, matc_s[:]
+                        )
+                        opx_ref[:] = ns["px"]
+                        opy_ref[:] = ns["py"]
+                        opz_ref[:] = ns["pz"]
+                        odx_ref[:] = ns["dx"]
+                        ody_ref[:] = ns["dy"]
+                        odz_ref[:] = ns["dz"]
+                        oqx_ref[:] = ns["qx"]
+                        oqy_ref[:] = ns["qy"]
+                        oqz_ref[:] = ns["qz"]
+                        leg_s[:] = ns["leg"]
+                        pn_s[:] = ns["pn"]
+                        nn_s[:] = ns["nn"]
+                        acc_s[:] = ns["acc"]
+
+                # Move (post-transition state; transitioned lanes classify
+                # at their new origin next iteration).
+                act = live & ~completed
+                px2, py2, pz2 = opx_ref[:], opy_ref[:], opz_ref[:]
+                dx2, dy2, dz2 = odx_ref[:], ody_ref[:], odz_ref[:]
+                step_f = jnp.maximum(step, 1).astype(jnp.float32)
+                inv_step = inv_of_step(step)
+                mulx, lpx = axis_terms(dx2)
+                muly, lpy = axis_terms(dy2)
+                mulz, lpz = axis_terms(dz2)
+                one = jnp.float32(1.0)
+                lxc = bdist(px, mulx, lpx, step_f, inv_step)
+                lyc = bdist(py, muly, lpy, step_f, inv_step)
+                lzc = bdist(pz, mulz, lpz, step_f, inv_step)
+                lxf = bdist(px, mulx, lpx, one, one)
+                lyf = bdist(py, muly, lpy, one, one)
+                ztop = hcol.astype(jnp.float32)
+                lzf = jnp.where(
+                    (dz2 < 0) & (pz >= ztop),
+                    (eps + (pz - ztop)) * lpz,
+                    jnp.float32(jnp.inf),
+                )
+                lx = jnp.where(fine, lxf, lxc)
+                ly = jnp.where(fine, lyf, lyc)
+                lz = jnp.where(fine, lzf, lzc)
+                use_x = (lx < ly) & (lx < lz)
+                use_y = ~(lx < ly) & (ly < lz)
+                lmin = jnp.where(use_x, lx, jnp.where(use_y, ly, lz))
+                nx_id = jnp.where(dx2 > 0, jnp.int32(1), jnp.int32(0))
+                ny_id = jnp.where(dy2 > 0, jnp.int32(3), jnp.int32(2))
+                nz_id = jnp.where(dz2 > 0, jnp.int32(5), jnp.int32(4))
+                nrm = jnp.where(use_x, nx_id, jnp.where(use_y, ny_id, nz_id))
+                opx_ref[:] = jnp.where(act, px2 + dx2 * lmin, px2)
+                opy_ref[:] = jnp.where(act, py2 + dy2 * lmin, py2)
+                opz_ref[:] = jnp.where(act, pz2 + dz2 * lmin, pz2)
+                cn_s[:] = jnp.where(act, nrm, cn_s[:])
+                opd_ref[:] = opd_ref[:] + jnp.where(
+                    act & (leg_s[:] == 0), lmin, jnp.float32(0.0)
+                )
+
+            def rs_body(carry):
+                i, _ = carry
+                for j in range(unroll):
+                    sub_iteration((not lazy_t) or j == unroll - 1)
+                return (i + unroll, jnp.any(leg_s[:] < 5))
+
+            def rs_cond(carry):
+                return (carry[0] < max_steps) & carry[1]
+
+            jax.lax.while_loop(rs_cond, rs_body, (jnp.int32(0), jnp.bool_(True)))
+
+            # Final stateless transition (pure): completions from the last
+            # move are applied, then the meta word is packed.
+            s_fin = dict(
+                px=opx_ref[:], py=opy_ref[:], pz=opz_ref[:],
+                dx=odx_ref[:], dy=ody_ref[:], dz=odz_ref[:],
+                qx=oqx_ref[:], qy=oqy_ref[:], qz=oqz_ref[:],
+                leg=leg_s[:], cn=cn_s[:], pn=pn_s[:], nn=nn_s[:],
+                acc=acc_s[:], pd=opd_ref[:], i=jnp.int32(0), parked=izero,
+            )
+            s = transition(s_fin)
+            opx_ref[:] = s["px"]
+            opy_ref[:] = s["py"]
+            opz_ref[:] = s["pz"]
+            odx_ref[:] = s["dx"]
+            ody_ref[:] = s["dy"]
+            odz_ref[:] = s["dz"]
+            oqx_ref[:] = s["qx"]
+            oqy_ref[:] = s["qy"]
+            oqz_ref[:] = s["qz"]
+            opd_ref[:] = s["pd"]
+            ometa_ref[:] = (
+                s["leg"] | (s["cn"] << 3) | (s["pn"] << 6) | (s["nn"] << 9)
+                | (s["acc"] << 12)
+            )
+            return
 
         if unified:
             # unroll > 1 runs the body N times per loop trip: the exit test
@@ -552,6 +762,7 @@ def _make_kernel(
     static_argnames=(
         "width", "height", "max_steps", "seed", "tile_rows", "interpret", "caps",
         "unified", "unroll", "rows", "lazy_t", "tail_rows", "bounces",
+        "ref_state",
     ),
 )
 def render_gbuffers_fused(
@@ -572,6 +783,7 @@ def render_gbuffers_fused(
     row0=0,
     rows: int | None = None,
     bounces: int = 2,
+    ref_state: bool = False,
 ) -> dict[str, jax.Array]:
     """Full G-buffer pass through the fused path kernel + compaction cascade.
 
@@ -683,7 +895,14 @@ def render_gbuffers_fused(
         ray_spec = pl.BlockSpec(
             (tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
-        kernel = _make_kernel(tr, steps, seed, unified, unroll, lazy_t, legs)
+        use_rs = ref_state and unified
+        kernel = _make_kernel(
+            tr, steps, seed, unified, unroll, lazy_t, legs, ref_state=use_rs
+        )
+        # _REFSTATE_SCRATCH: hcol (i32), matc, leg, cn, pn, nn, acc.
+        scratch = (
+            [pltpu.VMEM((tr, LANES), jnp.int32)] * 7 if use_rs else []
+        )
         return pl.pallas_call(
             kernel,
             grid=(rows // tr,),
@@ -692,6 +911,7 @@ def render_gbuffers_fused(
             + [table_spec(tables[k]) for k in table_keys],
             out_specs=[ray_spec] * 11,
             out_shape=[outf] * 10 + [outi],
+            scratch_shapes=scratch,
             interpret=interpret,
         )(iscal, fscal, *ops, *(tables[k] for k in table_keys))
 

@@ -51,3 +51,48 @@ def test_flythrough_run_scripted(cheap_pipeline, monkeypatch):
     )
     assert frame.shape == (48, 48, 3)
     assert np.isfinite(frame).all()
+
+
+def test_terminal_input_hold_release(monkeypatch):
+    """TerminalInput.pump: a received key is held for hold_frames frames,
+    then released (terminals deliver key-down only; key-repeat refreshes)."""
+    from raytrace_tpu.apps.flythrough import TerminalInput
+    from raytrace_tpu.engine.controls import ControlSet
+
+    ti = object.__new__(TerminalInput)  # skip the tty-mode __init__
+    ti._hold = {k: 0 for k in TerminalInput.KEYS}
+    ti._hold_frames = 2
+    ti.quit = False
+
+    controls = ControlSet()
+    controls.add_control("forward", "w")
+
+    pending = ["w"]
+
+    class FakeSelect:
+        @staticmethod
+        def select(r, w_, x, t):
+            return ([1] if pending else [], [], [])
+
+    class FakeStdin:
+        @staticmethod
+        def read(n):
+            return pending.pop(0)
+
+    import select as select_mod
+    import sys as sys_mod
+
+    monkeypatch.setattr(select_mod, "select", FakeSelect.select)
+    monkeypatch.setattr(sys_mod, "stdin", FakeStdin)
+
+    ti.pump(controls)
+    assert controls.is_held("forward")
+    controls.tick()
+    ti.pump(controls)  # hold frame 2
+    assert controls.is_held("forward")
+    controls.tick()
+    ti.pump(controls)  # expired -> released
+    assert not controls.is_held("forward")
+    pending.append("\x1b")
+    ti.pump(controls)
+    assert ti.quit
