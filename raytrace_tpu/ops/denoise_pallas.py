@@ -75,15 +75,19 @@ def _make_pass_kernel(h: int, w: int, size: int, fin: bool = False):
     pre = -(-(_MAX_REACH * size) // 8) * 8
     win = BAND + 2 * pre
 
-    def kernel(l0p, l1p, l2p, dpp, npp, *rest):
+    def kernel(l0p, l1p, l2p, gpp, *rest):
         """One à-trous pass for one BAND-row band.
 
-        l*p/dpp/npp: whole padded planes, resident in VMEM; o*: (BAND, w)
-        output blocks.  The band's input window is loaded once (full padded
-        width, aligned rows).  Column shifts (lane permutes, the expensive
-        slice axis) are materialized once per distinct dx — 3 views x 5
-        planes instead of one 2-D slice per tap x plane; each tap then
-        takes a cheap sublane row slice of its dx view.
+        l*p: whole padded lighting planes, resident in VMEM; gpp: the
+        PACKED guide plane — depth_u16 * 32 + normal as exact f32 (both
+        recovered exactly: values < 2^21, division by 32 is an exponent
+        shift) — one plane instead of two, so every tap pays one guide
+        read instead of two and the dx views span 4 planes instead of 5.
+        o*: (BAND, w) output blocks.  The band's input window is loaded
+        once (full padded width, aligned rows).  Column shifts (lane
+        permutes, the expensive slice axis) are materialized once per
+        distinct dx; each tap then takes a cheap sublane row slice of its
+        dx view.
 
         fin=True (the last pass) also applies finalize.comp in-register:
         `rest` then leads with 12 unpadded (h, w) planes — albedo,
@@ -102,19 +106,26 @@ def _make_pass_kernel(h: int, w: int, size: int, fin: bool = False):
         # window starts `pre` rows above it (PAD - pre is an 8-multiple).
         rows = pl.ds(i * BAND + (PAD - pre), win)
 
-        planes = [l0p[rows, :], l1p[rows, :], l2p[rows, :],
-                  dpp[rows, :], npp[rows, :]]
+        planes = [l0p[rows, :], l1p[rows, :], l2p[rows, :], gpp[rows, :]]
 
         dxs = sorted({dx for dx, _, _ in _TAPS} | {0})
         views = [
             {dx: p[:, PAD + dx * size : PAD + dx * size + w] for dx in dxs}
             for p in planes
         ]
-        v0, v1, v2, vd, vn = views
+        v0, v1, v2, vg = views
+
+        inv32 = jnp.float32(1.0 / 32.0)
+
+        def unpack(g):
+            """Exact (depth_u16 as f32, normal as f32) from the packed
+            guide; the weight formula's 4 * |d/256 - d'/256| becomes
+            |d - d'| * (1/64)."""
+            d = jnp.floor(g * inv32)
+            return d, g - d * 32.0
 
         m = pre  # center row offset inside the window
-        dc = vd[0][m : m + BAND]
-        nc = vn[0][m : m + BAND]
+        dc, nc = unpack(vg[0][m : m + BAND])
         sky = nc >= NORMAL_SKY
 
         c0v = v0[0][m : m + BAND]
@@ -127,9 +138,10 @@ def _make_pass_kernel(h: int, w: int, size: int, fin: bool = False):
         for dx, dy, base_w in _TAPS:
             oy = m + dy * size
             rs = slice(oy, oy + BAND)
-            depth_diff = 4.0 * jnp.abs(dc - vd[dx][rs])
+            dt, nt = unpack(vg[dx][rs])
+            depth_diff = jnp.abs(dc - dt) * jnp.float32(1.0 / 64.0)
             wgt = base_w / (
-                depth_diff + jnp.where(vn[dx][rs] == nc, 1.0, 11.0)
+                depth_diff + jnp.where(nt == nc, 1.0, 11.0)
             )
             total_w = total_w + wgt
             a0 = a0 + v0[dx][rs] * wgt
@@ -151,10 +163,10 @@ def _make_pass_kernel(h: int, w: int, size: int, fin: bool = False):
         from .shading import filmic_curve
 
         band_rows = pl.ds(i * BAND, BAND)
-        depth_f = dc * jnp.float32(256.0)
-        fog_amount = jnp.minimum(depth_f * jnp.float32(1.0 / FOG_SCALE), 1.0)
-        # depth u16 == 0xFFFF means sky; dc = depth/256 is exact in f32.
-        is_terrain = dc < jnp.float32(65535.0 / 256.0)
+        # dc is now the raw u16 depth (packed-guide scale).
+        fog_amount = jnp.minimum(dc * jnp.float32(1.0 / FOG_SCALE), 1.0)
+        # depth u16 == 0xFFFF means sky.
+        is_terrain = dc < jnp.float32(65535.0)
         for bl, alb, emi, fogp, dit, out in (
             (b0, alb0, emi0, fog0, dit0, o0),
             (b1, alb1, emi1, fog1, dit1, o1),
@@ -174,14 +186,14 @@ def _make_pass_kernel(h: int, w: int, size: int, fin: bool = False):
     return kernel
 
 
-def _pallas_pass(l0, l1, l2, dp, np_, h, w, size, interpret, fin_args=None):
+def _pallas_pass(l0, l1, l2, gp, h, w, size, interpret, fin_args=None):
     """One pass: unpadded (h, w) planes in, (h, w) planes out.
 
     fin_args: 12 unpadded (h, w) planes (albedo/emission/fog/dither x RGB)
     to fuse finalize into this (final) pass.
     """
     cfg = [(PAD, PAD), (PAD, PAD)]
-    args = [jnp.pad(x, cfg, mode="edge") for x in (l0, l1, l2)] + [dp, np_]
+    args = [jnp.pad(x, cfg, mode="edge") for x in (l0, l1, l2)] + [gp]
     if fin_args is not None:
         args += list(fin_args)
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -197,7 +209,7 @@ def _pallas_pass(l0, l1, l2, dp, np_, h, w, size, interpret, fin_args=None):
     return out
 
 
-def _chain(l0, l1, l2, dp, np_, h, h0, w, interpret, fin_planes=None):
+def _chain(l0, l1, l2, gp, h, h0, w, interpret, fin_planes=None):
     """The 6-pass schedule over one region (the whole frame or one strip).
 
     l*: (h, w) unpadded planes; dp/np_: (h + 2*PAD, w + 2*PAD) padded
@@ -215,14 +227,13 @@ def _chain(l0, l1, l2, dp, np_, h, h0, w, interpret, fin_planes=None):
                 for x in (l0, l1, l2)
             )
         l0, l1, l2 = _pallas_pass(
-            l0, l1, l2, dp, np_, h, w, size, interpret,
+            l0, l1, l2, gp, h, w, size, interpret,
             fin_args=fin_planes if (last and fin_planes is not None) else None,
         )
     return l0, l1, l2
 
 
-def _chain_striped(planar, depth_rp, normal_rp, h, h0, w, interpret,
-                   fin_planes=None):
+def _chain_striped(planar, guide_rp, h, h0, w, interpret, fin_planes=None):
     """Run _chain per column strip (or once, unstriped) and reassemble.
 
     planar: 3 row-padded (h, w) lighting planes; depth_rp/normal_rp:
@@ -236,14 +247,13 @@ def _chain_striped(planar, depth_rp, normal_rp, h, h0, w, interpret,
     colpad = [(0, 0), (PAD, PAD)]
 
     def run(a, b):
-        dp = jnp.pad(depth_rp[:, a:b], colpad, mode="edge")
-        np_ = jnp.pad(normal_rp[:, a:b], colpad, mode="edge")
+        gp = jnp.pad(guide_rp[:, a:b], colpad, mode="edge")
         fin = (
             None if fin_planes is None else [p[:, a:b] for p in fin_planes]
         )
         return _chain(
             planar[0][:, a:b], planar[1][:, a:b], planar[2][:, a:b],
-            dp, np_, h, h0, b - a, interpret, fin,
+            gp, h, h0, b - a, interpret, fin,
         )
 
     if plan is None:
@@ -285,10 +295,12 @@ def denoise_chain_pallas(
     planar = lighting.transpose(2, 0, 1)
     rowpad = [(PAD, PAD), (0, 0)]
     # Guides are pass-invariant: row-pad once (columns pad per strip).
-    dpr = jnp.pad(depth.astype(jnp.float32) / 256.0, rowpad, mode="edge")
-    npr = jnp.pad(normal.astype(jnp.int32), rowpad, mode="edge")
+    gpr = jnp.pad(
+        depth.astype(jnp.float32) * 32.0 + normal.astype(jnp.float32),
+        rowpad, mode="edge",
+    )
 
-    l0, l1, l2 = _chain_striped(planar, dpr, npr, h, h0, w, interpret)
+    l0, l1, l2 = _chain_striped(planar, gpr, h, h0, w, interpret)
     out = jnp.stack([l0, l1, l2], axis=-1)
     return out[:h0]
 
@@ -336,8 +348,10 @@ def denoise_finalize_pallas(
 
     planar = lighting.transpose(2, 0, 1)
     rowpad = [(PAD, PAD), (0, 0)]
-    dpr = jnp.pad(depth.astype(jnp.float32) / 256.0, rowpad, mode="edge")
-    npr = jnp.pad(normal.astype(jnp.int32), rowpad, mode="edge")
+    gpr = jnp.pad(
+        depth.astype(jnp.float32) * 32.0 + normal.astype(jnp.float32),
+        rowpad, mode="edge",
+    )
 
     # Finalize operands as unpadded planes (finalize.py full-frame path:
     # modular dither = tile of the blue-noise texture).
@@ -352,7 +366,7 @@ def denoise_finalize_pallas(
     planes += [dither[0], dither[1], dither[2]]
 
     l0, l1, l2 = _chain_striped(
-        planar, dpr, npr, h, h0, w, interpret, fin_planes=planes
+        planar, gpr, h, h0, w, interpret, fin_planes=planes
     )
     frame = jnp.stack([l0, l1, l2], axis=-1)[:h0]
     return frame[::-1]  # window coords are upside-down (finalize.comp:59)

@@ -146,6 +146,7 @@ def test_pallas_denoise_finalize_matches_staged():
     np.testing.assert_allclose(got, want, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_striped_chain_matches_unstriped(monkeypatch):
     """Column-strip mode (frames beyond the VMEM pixel budget) must equal
     the unstriped Pallas chain bit-for-bit on the center AND edge columns.

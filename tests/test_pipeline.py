@@ -128,6 +128,7 @@ def test_committed_golden_frame():
     assert stats["ok"], stats
 
 
+@pytest.mark.slow
 def test_packed_fast_path_matches_legacy(full_world_volume):
     """The interactive single-dispatch packed path (tracer='fused',
     validate=False) must produce the same frame as the legacy multi-upload
