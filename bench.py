@@ -9,12 +9,16 @@ full generated world resident on device, 6-pass denoise + finalize.
 Throughput counts 5 rays/pixel/frame.  Baseline target: 100 Mrays/s
 (BASELINE.json north_star).
 
-Timing: FRAMES frames with per-frame-varying sun angle and noise seed are
-chained inside one jitted program (the animation loop of a steady-state
-renderer) and synced once with an on-device reduction + scalar readback.
-The single readback is included in the measured time.  Per-frame host
-syncs are NOT used: on the axon platform a host roundtrip costs a flat
-~35 ms, which would bill tunnel latency, not TPU work.
+Timing: FRAMES frames with per-frame-varying camera/sun/seed are
+dispatched back-to-back as an async train and synced once with an
+on-device reduction + scalar readback — exactly what the production
+draw_frame loop does (and what apps/benchmark._time_chained does for the
+BASELINE configs).  The single readback is included in the measured time.
+Per-frame host syncs are NOT used: on the axon platform a host roundtrip
+costs a flat ~35 ms, which would bill tunnel latency, not TPU work.  A
+lax.fori_loop frame chain is not used either: its loop-carried
+serialization defeats XLA's inter-frame overlap and measures ~2x slower
+than what the renderer actually achieves per frame.
 """
 
 import json
@@ -30,7 +34,7 @@ RAYS_PER_PIXEL = 5
 # Warmup covers jit compilation AND terrain-streaming convergence (the
 # static bench camera needs ~4 slice moves before the region settles).
 WARMUP = 6
-FRAMES = 10
+FRAMES = 20  # per timed train (amortizes the one ~35 ms final readback)
 
 
 def main():
@@ -67,36 +71,34 @@ def main():
         world = pipeline.streamer.volume
 
     @jax.jit
-    def animation(uniforms, sun0):
-        # fori_loop so the program contains ONE frame's graph regardless of
-        # FRAMES (a python loop would multiply XLA compile time).  The
-        # camera moves per frame: with a static origin XLA hoists the
-        # loop-invariant primary trace out of the loop and the benchmark
-        # silently measures 4 rays/pixel instead of 5.
-        def body(i, acc):
-            u = dict(
-                uniforms,
-                origin=uniforms["origin"]
-                + jnp.float32(0.03) * i * jnp.asarray([1.0, 1.0, 0.0]),
-                sun_angle=sun0 + jnp.float32(0.01) * i,
-                seed=uniforms["seed"] + i,
-            )
-            frame = render_frame(
-                world, pipeline.blue_noise, u, WIDTH, HEIGHT,
-                tracer=tracer, seed=pipeline.seed,
-            )
-            return acc + jnp.sum(frame)
+    def frame_at(t):
+        # One animation frame parameterized by a traced scalar (ONE compile
+        # for the whole train).  The camera moves per frame: with a static
+        # origin XLA could hoist the loop-invariant primary trace and the
+        # benchmark would silently measure 4 rays/pixel instead of 5.
+        u = dict(
+            uniforms,
+            origin=uniforms["origin"] + t * jnp.asarray([0.03, 0.03, 0.0]),
+            sun_angle=jnp.float32(0.6) + jnp.float32(0.01) * t,
+            seed=uniforms["seed"] + t.astype(jnp.int32),
+        )
+        frame = render_frame(
+            world, pipeline.blue_noise, u, WIDTH, HEIGHT,
+            tracer=tracer, seed=pipeline.seed,
+        )
+        return jnp.sum(frame)
 
-        return jax.lax.fori_loop(0, FRAMES, body, jnp.float32(0))
-
-    sync(animation(uniforms, jnp.float32(0.6)))  # compile
-    # Best of 3 timed runs: single runs swing ~±10% with tunnel/machine
+    sync(frame_at(jnp.float32(0.0)))  # compile + warm
+    # Best of 3 timed trains: single runs swing ~±10% with tunnel/machine
     # state (same commit measured 91.8 and 103.8 back to back); the min is
     # the honest device capability.
     dts = []
     for rep in range(3):
         t0 = time.monotonic()
-        checksum = sync(animation(uniforms, jnp.float32(0.61 + 0.001 * rep)))
+        acc = None
+        for i in range(FRAMES):
+            acc = frame_at(jnp.float32(FRAMES * rep + i))
+        checksum = sync(acc)
         dts.append((time.monotonic() - t0) / FRAMES)
         assert checksum == checksum, "NaN frame"
 
