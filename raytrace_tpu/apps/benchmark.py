@@ -156,19 +156,23 @@ def config3_flythrough(tracer="fused", frames=60):
     # Warm up compile + initial streaming.
     for _ in range(4):
         _sync(pipeline.draw_frame(cam, 0.6))
-    # Two-frames-deep pipelining (the reference fences one frame deep,
-    # pipeline.rs:162-235; one extra slot hides the tunnel round trip):
-    # dispatch frame i, sync frame i-2 — measured time is true throughput,
-    # not per-frame dispatch latency.
+    # Production frame loop: draw_frame is fully async (one packed upload +
+    # one dispatch), so frames are dispatched back-to-back and synced ONCE
+    # at the end — the same methodology as every other config
+    # (_time_chained).  A per-frame host readback would bill a flat ~35 ms
+    # tunnel round trip per frame (docs/DESIGN.md "Known costs") that a
+    # colocated-host deployment does not pay; a bounded in-flight window
+    # (refs dropped two frames back) keeps device memory flat like the
+    # reference's one-frame-deep fencing (pipeline.rs:162-235).
     inflight = deque()
     t0 = time.monotonic()
     for i in range(frames):
         cam.origin[0] += 1.2  # fly +x: crosses a slice boundary every ~13 frames
         inflight.append(pipeline.draw_frame(cam, 0.6))
         if len(inflight) > 2:
-            _sync(inflight.popleft())
-    while inflight:
-        _sync(inflight.popleft())
+            inflight.popleft()  # drop ref; buffer freed once computed
+    last = inflight.pop()
+    _sync(last)
     dt = (time.monotonic() - t0) / frames
     return _emit(
         "3_flythrough_streaming", dt * 1e3, "ms/frame", {"fps": round(1 / dt, 2)}

@@ -67,6 +67,12 @@ LANES = 128
 # 64 iterations is the sweet spot.
 FUSED_CAPS = (64,)
 
+# Segment count for the cascade's partition/unsort sorts (see rsort in
+# render_gbuffers_fused).  1 = one global sort.  Results are bit-identical
+# for any value; this is purely a sorting-network-size vs
+# compaction-granularity tradeoff.
+SORT_SEG = 1
+
 
 _MAT_CODES_CHECKED = False
 
@@ -147,7 +153,7 @@ def _make_kernel(
     S = tile_rows
 
     def kernel(
-        iscal_ref,  # SMEM (8,) i32: r0x, r0y, lrx, lry, lrz
+        iscal_ref,  # SMEM (8,) i32: r0x, r0y, lrx, lry, lrz, maxh
         fscal_ref,  # SMEM (8,) f32: sun xyz
         px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref,  # current ray
         qx_ref, qy_ref, qz_ref,  # bounce base point (last nudged hit)
@@ -167,6 +173,15 @@ def _make_kernel(
             jnp.float32(iscal_ref[4]),
         )
         sun = (fscal_ref[0], fscal_ref[1], fscal_ref[2])
+        # Region-wide max column height (from the pyramid's h8 level, so it
+        # carries the same >= margin).  A ray at zi >= maxh that is not
+        # descending can never re-enter terrain: complete it as sky NOW
+        # instead of coarse-stepping it to the region boundary.  Bit-exact:
+        # sky radiance depends only on the ray direction, and a primary
+        # that reaches sky shades depth/fog from constants, not from pd.
+        # Every completion-detection site applies the same test, so the
+        # cascade's stateless resume stays consistent.
+        maxh = iscal_ref[5]
 
         hsub = hsub_ref[:]
         h3 = h3_ref[:]
@@ -280,12 +295,18 @@ def _make_kernel(
             parked=izero,
         )
 
+        def sky_escape(pz, dz):
+            """Non-descending ray above every column: sky, immediately."""
+            return (dz >= jnp.float32(0)) & (
+                jnp.floor(pz).astype(jnp.int32) >= maxh
+            )
+
         def transition(s):
             """Detect completed rays statelessly and start their next leg."""
             leg = s["leg"]
             px, py, pz = s["px"], s["py"], s["pz"]
             live = leg < 5
-            oob = oob_of(px, py, pz)
+            oob = oob_of(px, py, pz) | sky_escape(pz, s["dz"])
             solid, matc = hit_info(px, py, pz)
             completed_air = live & oob
             completed_hit = live & ~oob & solid
@@ -492,20 +513,32 @@ def _make_kernel(
             i3 = (ry >> 3) * 32 + (rx >> 3)
             w, word, ca, cb, cc, cd = _lut_many((h3, hsub, cA, cB, cC, cD), i3)
             h8 = w & 511
-            e32 = ((zi >> 5) << 5) >= ((w >> 18) & 511)
-            e16 = ((zi >> 4) << 4) >= ((w >> 9) & 511)
-            e8 = ((zi >> 3) << 3) >= h8
+            # Rising rays (dz >= 0): z along the rest of the path never drops
+            # below the CURRENT voxel, so the empty-block tests may compare
+            # zi itself instead of the 2^k-aligned slab floor — a climbing
+            # ray takes 32-steps the whole way out instead of only after
+            # clearing its slab.  (The move segment stays inside the current
+            # 2^k cell in all axes by lmin-minimality, so the block's max
+            # height bounds every column the segment can touch.)
+            up = s["dz"] >= 0
+            z32 = jnp.where(up, zi, (zi >> 5) << 5)
+            z16 = jnp.where(up, zi, (zi >> 4) << 4)
+            z8 = jnp.where(up, zi, (zi >> 3) << 3)
+            z4 = jnp.where(up, zi, (zi >> 2) << 2)
+            e32 = z32 >= ((w >> 18) & 511)
+            e16 = z16 >= ((w >> 9) & 511)
+            e8 = z8 >= h8
             step = jnp.where(e32, 32, jnp.where(e16, 16, jnp.where(e8, 8, 0)))
             quad = (((ry >> 2) & 1) << 1) | ((rx >> 2) & 1)
             delta = (word >> (quad << 3)) & 255
-            e4 = ((zi >> 2) << 2) >= (h8 - delta)
+            e4 = z4 >= (h8 - delta)
             step = jnp.where(step == 0, jnp.where(e4, 4, 0), step)
             fine = step == 0
             hcol = jnp.maximum(
                 _height_from_corners(ca, cb, cc, cd, xi, yi, seed), 0
             )
 
-            oob = oob_of(px, py, pz)
+            oob = oob_of(px, py, pz) | ((s["dz"] >= 0) & (zi >= maxh))
             completed_air = live & oob
             completed_hit = live & ~oob & (zi < hcol)
             completed = completed_air | completed_hit
@@ -583,13 +616,19 @@ def _make_kernel(
                 i3 = (ry >> 3) * 32 + (rx >> 3)
                 w, word = _lut_many((h3, hsub), i3)
                 h8 = w & 511
-                e32 = ((zi >> 5) << 5) >= ((w >> 18) & 511)
-                e16 = ((zi >> 4) << 4) >= ((w >> 9) & 511)
-                e8 = ((zi >> 3) << 3) >= h8
+                # Rising-ray rule: see body_u.
+                up = odz_ref[:] >= 0
+                z32 = jnp.where(up, zi, (zi >> 5) << 5)
+                z16 = jnp.where(up, zi, (zi >> 4) << 4)
+                z8 = jnp.where(up, zi, (zi >> 3) << 3)
+                z4 = jnp.where(up, zi, (zi >> 2) << 2)
+                e32 = z32 >= ((w >> 18) & 511)
+                e16 = z16 >= ((w >> 9) & 511)
+                e8 = z8 >= h8
                 step = jnp.where(e32, 32, jnp.where(e16, 16, jnp.where(e8, 8, 0)))
                 quad = (((ry >> 2) & 1) << 1) | ((rx >> 2) & 1)
                 delta = (word >> (quad << 3)) & 255
-                e4 = ((zi >> 2) << 2) >= (h8 - delta)
+                e4 = z4 >= (h8 - delta)
                 step = jnp.where(step == 0, jnp.where(e4, 4, 0), step)
                 fine = step == 0
 
@@ -603,7 +642,7 @@ def _make_kernel(
                         matc_s[:] = _mat_code(xi, yi, zi, seed)
 
                 hcol = hcol_s[:]
-                oob = oob_of(px, py, pz)
+                oob = oob_of(px, py, pz) | ((odz_ref[:] >= 0) & (zi >= maxh))
                 completed_air = live & oob
                 # completed_hit requires `fine`: solid voxels always
                 # classify fine (the pyramid never reports them empty), so
@@ -827,9 +866,13 @@ def render_gbuffers_fused(
          jnp.float32(0), jnp.float32(0), jnp.float32(0)]
     ).astype(jnp.float32)
     lri = uniforms["lr"].astype(jnp.int32)
+    # Region-wide max column height for the kernel's sky-escape shortcut:
+    # the max of the pyramid's per-8-block h8 level keeps its conservative
+    # >= margin (a tiny reduce; h3 is 1024 words).
+    maxh = jnp.max(tables["h3"] & 511).astype(jnp.int32)
     iscal = jnp.stack(
         [tables["r0"][0], tables["r0"][1], lri[0], lri[1], lri[2],
-         jnp.int32(0), jnp.int32(0), jnp.int32(0)]
+         maxh, jnp.int32(0), jnp.int32(0)]
     )
 
     n = width * band_h
@@ -916,8 +959,18 @@ def render_gbuffers_fused(
         )(iscal, fscal, *ops, *(tables[k] for k in table_keys))
 
     def rsort(key, ops):
+        # Segmented sort: rays are independent (the march reads only a
+        # lane's own registers) and the final unsort restores exact pixel
+        # order, so partitioning within SORT_SEG independent segments is
+        # bit-identical to one global sort — while the O(n log^2 n) sorting
+        # network shrinks with the segment length.  The only cost is
+        # compaction granularity: stragglers pack to the front of their own
+        # segment (ceil(live_s/tile) live tiles per segment) instead of the
+        # front of the frame.
+        seg = SORT_SEG if SORT_SEG > 0 and n_pad % SORT_SEG == 0 else 1
+        shape = (seg, n_pad // seg) if seg > 1 else (n_pad,)
         out = jax.lax.sort(
-            (key.reshape(n_pad),) + tuple(x.reshape(n_pad) for x in ops),
+            (key.reshape(shape),) + tuple(x.reshape(shape) for x in ops),
             num_keys=1,
         )
         return tuple(x.reshape(rows, LANES) for x in out[1:])

@@ -265,9 +265,18 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int, unified: bool = Fals
             i3 = (ry >> 3) * 32 + (rx >> 3)
             w = _lut(h3, i3)
             h8 = w & 511
-            e32 = ((zi >> 5) << 5) >= ((w >> 18) & 511)
-            e16 = ((zi >> 4) << 4) >= ((w >> 9) & 511)
-            e8 = ((zi >> 3) << 3) >= h8
+            # Rising-ray rule (see body_f).  classify and body_f MUST agree
+            # on step sizes: the phase hysteresis parks C-lanes when
+            # step < 8 and F-lanes when step >= 8, so a rule applied in only
+            # one of them ping-pongs a lane between phases without moving
+            # until the step budget exhausts.
+            up = dzv >= 0
+            z32 = jnp.where(up, zi, (zi >> 5) << 5)
+            z16 = jnp.where(up, zi, (zi >> 4) << 4)
+            z8 = jnp.where(up, zi, (zi >> 3) << 3)
+            e32 = z32 >= ((w >> 18) & 511)
+            e16 = z16 >= ((w >> 9) & 511)
+            e8 = z8 >= h8
             return jnp.where(e32, 32, jnp.where(e16, 16, jnp.where(e8, 8, 0)))
 
         def advance(s, lx, ly, lz, move, hit_now, hcol):
@@ -364,9 +373,20 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int, unified: bool = Fals
             # lattice corners the exact column height interpolates from.
             w, word, ca, cb, cc, cd = _lut_many((h3, hsub, cA, cB, cC, cD), i3)
             h8 = w & 511
-            e32 = ((zi >> 5) << 5) >= ((w >> 18) & 511)
-            e16 = ((zi >> 4) << 4) >= ((w >> 9) & 511)
-            e8 = ((zi >> 3) << 3) >= h8
+            # Rising rays (dz >= 0) compare their CURRENT voxel z against the
+            # block max heights instead of the 2^k slab floor: z never drops
+            # below zi again, so a climbing ray coarse-steps the whole way
+            # out.  Must mirror lighting_pallas.body_u exactly — the fused
+            # and staged tracers keep bit-identical step sequences (the
+            # fused-vs-staged goldens assert exact normal/albedo equality).
+            up = dzv >= 0
+            z32 = jnp.where(up, zi, (zi >> 5) << 5)
+            z16 = jnp.where(up, zi, (zi >> 4) << 4)
+            z8 = jnp.where(up, zi, (zi >> 3) << 3)
+            z4 = jnp.where(up, zi, (zi >> 2) << 2)
+            e32 = z32 >= ((w >> 18) & 511)
+            e16 = z16 >= ((w >> 9) & 511)
+            e8 = z8 >= h8
             step = jnp.where(e32, 32, jnp.where(e16, 16, jnp.where(e8, 8, 0)))
             # Refine with the 4-block level: grazing rays in the terrain
             # fringe advance 4 voxels per iteration instead of marching
@@ -375,7 +395,7 @@ def _make_kernel(tile_rows: int, max_steps: int, seed: int, unified: bool = Fals
             # per-quadrant byte delta.
             quad = (((ry >> 2) & 1) << 1) | ((rx >> 2) & 1)
             delta = (word >> (quad << 3)) & 255
-            e4 = ((zi >> 2) << 2) >= (h8 - delta)
+            e4 = z4 >= (h8 - delta)
             step = jnp.where(step == 0, jnp.where(e4, 4, 0), step)
             fine = step == 0
             if unified:
