@@ -56,6 +56,11 @@ LANES = 128
 NB = _N // 8  # 32 bricks per side
 NUM_BRICKS = NB * NB * NB  # 32768
 DETAIL_WORDS = 512 // 32  # 16 i32 words of voxel bits per brick
+# Bricks packed per detail row: the resolve row gather is row-COUNT bound
+# (~8 ns/row, width-irrelevant — docs/DESIGN.md), so packing 4 x-adjacent
+# bricks per row quarters the gather cost of every resolve round for the
+# price of a wider in-register word select.
+DETAIL_PACK = 4
 
 # Kernel statuses carried per lane (also the meta-word bit layout of the
 # wrapper: done | air<<1 | normal<<2 (3 bits) | parked<<5).
@@ -73,9 +78,11 @@ def build_vol_tables(fused_flat: jax.Array) -> dict[str, jax.Array]:
       'any_hi' — (2, 128) i32; row 0 packs the 4096 16-level any bits
           (128 words); row 1 packs the 512 32-level bits (16 words, lanes
           0-15) and the 64 64-level bits (2 words, lanes 64-65);
-      'detail' — (32768, 16) i32 voxel-solidity bits per brick, bit
-          v & 31 of word v >> 5 with v = (lz<<6)|(ly<<3)|lx; stays in HBM
-          and is row-gathered by the XLA resolve step.
+      'detail' — (32768 // DETAIL_PACK, 16 * DETAIL_PACK) i32
+          voxel-solidity bits, DETAIL_PACK x-adjacent bricks per row;
+          within brick b (row b >> 2, sub-slot b & 3), bit v & 31 of word
+          ((b & 3) << 4) | (v >> 5) with v = (lz<<6)|(ly<<3)|lx; stays in
+          HBM and is row-gathered by the XLA resolve step.
 
     Rebuild whenever the volume changes (a streaming slice update); the
     whole build is reductions + bit packs over 16.7M bools, ~1 ms-class on
@@ -116,7 +123,11 @@ def build_vol_tables(fused_flat: jax.Array) -> dict[str, jax.Array]:
         .transpose(0, 2, 4, 1, 3, 5)  # (bz, by, bx, lz, ly, lx)
         .reshape(NUM_BRICKS, 512)
     )
-    detail = pack_bits(sb.reshape(-1)).reshape(NUM_BRICKS, DETAIL_WORDS)
+    # DETAIL_PACK x-adjacent bricks per row (bricks are x-minor in the flat
+    # order, so packing is a pure reshape of the brick-major word stream).
+    detail = pack_bits(sb.reshape(-1)).reshape(
+        NUM_BRICKS // DETAIL_PACK, DETAIL_WORDS * DETAIL_PACK
+    )
 
     return {"any8": t_any8, "all8": t_all8, "any_hi": hi, "detail": detail}
 
@@ -309,7 +320,10 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
 
     b0, _, _, _ = brick_of(px, py, pz)
     b0 = jnp.where(parked, b0, 0)
-    words = detail[b0]  # (n, 16) row gather — the only volume memory touch
+    # (n, 16*DETAIL_PACK) row gather — the only volume memory touch.  The
+    # row holds DETAIL_PACK x-adjacent bricks; sub selects this ray's one.
+    words = detail[b0 >> 2]
+    sub = b0 & (DETAIL_PACK - 1)
 
     inv_len = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-20))
     dxv, dyv, dzv = dx * inv_len, dy * inv_len, dz * inv_len
@@ -354,9 +368,9 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
         act = act & inside
 
         v = ((tz & 7) << 6) | ((ty & 7) << 3) | (tx & 7)
-        wsel = v >> 5  # word index 0..15
+        wsel = (sub << 4) | (v >> 5)  # word index within the packed row
         word = jnp.zeros_like(v)
-        for w in range(DETAIL_WORDS):
+        for w in range(DETAIL_WORDS * DETAIL_PACK):
             word = jnp.where(wsel == w, words[:, w], word)
         solid = ((word >> (v & 31)) & 1) == 1
         hit = act & solid
