@@ -32,7 +32,7 @@ def _sync(x):
     return float(jnp.sum(x))
 
 
-def _time_chained(frame_of_step, n=20):
+def _time_chained(frame_of_step, n=20, compiler_options=None):
     """Time n frames as an async dispatch train with ONE final sync.
 
     A per-rep host sync would bill ~35 ms of tunnel latency per frame
@@ -41,8 +41,14 @@ def _time_chained(frame_of_step, n=20):
     production dispatch pattern (loop-carried serialization defeats XLA's
     inter-frame overlap), so this times what draw_frame actually does:
     dispatch n frames back-to-back, block once at the end.
+
+    compiler_options: pass denoise_pallas.scoped_vmem_options(h, w) for
+    frames big enough to run the striped denoise chain — nested-jit
+    compiler options don't propagate, so the OUTER jit must carry them.
     """
-    f = jax.jit(lambda t: jnp.sum(frame_of_step(t)))
+    f = jax.jit(
+        lambda t: jnp.sum(frame_of_step(t)), compiler_options=compiler_options
+    )
     _sync(f(jnp.float32(0.0)))  # compile + warm
     t0 = time.monotonic()
     out = None
@@ -140,7 +146,9 @@ def config2_world_1080p(tracer="fused"):
 
         return denoise_finalize_pallas(gb, bn)
 
-    dt = _time_chained(frame)
+    from ..ops.denoise_pallas import scoped_vmem_options
+
+    dt = _time_chained(frame, compiler_options=scoped_vmem_options(1080, 1920))
     rays = 1920 * 1080 * 3  # primary + sun + diffuse
     return _emit(
         "2_world_1080p_1bounce", rays / dt / 1e6, "Mrays/s", {"ms_per_frame": round(dt * 1e3, 1)}
@@ -209,10 +217,14 @@ def config5_tiled_4k(tracer="fused"):
     mesh = make_tile_mesh()
     n_dev = len(jax.devices())
     W, H = 3840, 2160
+    from ..ops.denoise_pallas import scoped_vmem_options
+
     f = jax.jit(
         lambda v, b, u: render_frame_tiled(
             v, b, u, W, H, mesh, MAX_TRACE_STEPS, tracer=tracer
-        )
+        ),
+        # The per-device band (H/n rows) runs the striped denoise chain.
+        compiler_options=scoped_vmem_options(H // max(n_dev, 1), W),
     )
     _sync(f(world, bn, uni))
     t0 = time.monotonic()

@@ -61,10 +61,6 @@ class FrameUniforms:
         )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("width", "height", "max_steps", "with_gbuffers", "tracer", "seed"),
-)
 def render_frame(
     world,
     blue_noise: jax.Array,
@@ -75,6 +71,34 @@ def render_frame(
     with_gbuffers: bool = False,
     tracer: str = "volume",
     seed: int = 0,
+):
+    """Dispatch to the jitted frame program, raising XLA's scoped-vmem
+    limit only for frames big enough to run the striped denoise chain
+    (denoise_pallas.scoped_vmem_options) — the hot <=1024² program keeps
+    default compiler options."""
+    from ..ops.denoise_pallas import scoped_vmem_options
+
+    impl = (
+        _render_frame_scoped
+        if scoped_vmem_options(height, width)
+        else _render_frame_default
+    )
+    return impl(
+        world, blue_noise, uniforms, width, height, max_steps,
+        with_gbuffers, tracer, seed,
+    )
+
+
+def _render_frame_impl(
+    world,
+    blue_noise: jax.Array,
+    uniforms: dict,
+    width: int,
+    height: int,
+    max_steps: int,
+    with_gbuffers: bool,
+    tracer: str,
+    seed: int,
 ):
     """Trace + denoise + finalize as one fused device program.
 
@@ -119,10 +143,49 @@ def render_frame(
     return frame
 
 
-@functools.partial(
-    jax.jit, static_argnames=("width", "height", "max_steps", "seed")
-)
+_RF_STATICS = ("width", "height", "max_steps", "with_gbuffers", "tracer", "seed")
+_SCOPED_VMEM = {"xla_tpu_scoped_vmem_limit_kib": 49152}
+# jit instances are created lazily: jax.jit with compiler_options
+# initializes the backend eagerly, which must not happen at import time
+# (the axon tunnel may not be up yet).
+_jit_cache: dict = {}
+
+
+def _lazy_jit(key, fun, statics, scoped):
+    if key not in _jit_cache:
+        _jit_cache[key] = jax.jit(
+            fun,
+            static_argnames=statics,
+            compiler_options=_SCOPED_VMEM if scoped else None,
+        )
+    return _jit_cache[key]
+
+
+def _render_frame_default(*a):
+    return _lazy_jit("rf0", _render_frame_impl, _RF_STATICS, False)(*a)
+
+
+def _render_frame_scoped(*a):
+    return _lazy_jit("rf1", _render_frame_impl, _RF_STATICS, True)(*a)
+
+
 def _render_frame_fused_packed(
+    blue_noise: jax.Array,
+    packed: jax.Array,
+    width: int,
+    height: int,
+    max_steps: int,
+    seed: int,
+):
+    from ..ops.denoise_pallas import scoped_vmem_options
+
+    impl = (
+        _rffp_scoped if scoped_vmem_options(height, width) else _rffp_default
+    )
+    return impl(blue_noise, packed, width, height, max_steps, seed)
+
+
+def _rffp_impl(
     blue_noise: jax.Array,
     packed: jax.Array,
     width: int,
@@ -161,6 +224,17 @@ def _render_frame_fused_packed(
     from ..ops.denoise_pallas import denoise_finalize_pallas
 
     return denoise_finalize_pallas(gb, blue_noise)
+
+
+_RFFP_STATICS = ("width", "height", "max_steps", "seed")
+
+
+def _rffp_default(*a):
+    return _lazy_jit("fp0", _rffp_impl, _RFFP_STATICS, False)(*a)
+
+
+def _rffp_scoped(*a):
+    return _lazy_jit("fp1", _rffp_impl, _RFFP_STATICS, True)(*a)
 
 
 class Pipeline:
