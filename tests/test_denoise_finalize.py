@@ -188,3 +188,23 @@ def test_striped_finalize_matches_unstriped(monkeypatch):
     assert len(dnp._strip_plan(h, w)) == 4  # the patched budget really strips
     got = np.asarray(dnp.denoise_finalize_pallas.__wrapped__(gb, bn, interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_scoped_vmem_options_boundaries():
+    """The compiler-option helper fires exactly when the strip plan does."""
+    from raytrace_tpu.ops.denoise_pallas import (
+        MAX_VMEM_PIXELS,
+        _strip_plan,
+        scoped_vmem_options,
+    )
+
+    # 1024² fits unstriped: the hot path must keep default options.
+    assert _strip_plan(1024, 1024) is None
+    assert scoped_vmem_options(1024, 1024) is None
+    # 1080p strips: the option must be present and name the XLA flag.
+    assert isinstance(_strip_plan(1080, 1920), list)
+    opts = scoped_vmem_options(1080, 1920)
+    assert opts and "xla_tpu_scoped_vmem_limit_kib" in opts
+    # 4K single-device band also strips.
+    assert scoped_vmem_options(2160, 3840)
+    assert 1080 * 1920 > MAX_VMEM_PIXELS

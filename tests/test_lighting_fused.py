@@ -115,3 +115,34 @@ def test_reduced_bounce_matches_staged(bounces):
     np.testing.assert_array_equal(
         np.asarray(staged["normal"]), np.asarray(fused["normal"])
     )
+
+
+@pytest.mark.slow
+def test_sort_seg_bit_identical(frame_pair):
+    """Segmented cascade sorts (SORT_SEG) must be bit-identical to the
+    global sort: rays are independent and the unsort restores pixel order
+    (lighting_pallas.rsort)."""
+    from raytrace_tpu.ops import lighting_pallas as LP
+
+    W = H = 64
+    bn = get_blue_noise_f32()
+    pitch = -0.3
+    u = FrameUniforms(
+        origin=(-30.0, -100.0, 60.0),
+        sun_angle=0.6,
+        forward=(0.0, np.cos(pitch), np.sin(pitch)),
+        up=(0.0, -0.4 * np.sin(pitch), 0.4 * np.cos(pitch)),
+        right=(0.4, 0.0, 0.0),
+    ).as_device_dict()
+    tables = build_hf_tables(jnp.zeros(3, jnp.int32), seed=0)
+    _, fused = frame_pair
+    old = LP.SORT_SEG
+    try:
+        LP.SORT_SEG = 8
+        seg = render_gbuffers_fused(
+            tables, bn, u, W, H, max_steps=2048, seed=0, interpret=True
+        )
+    finally:
+        LP.SORT_SEG = old
+    for k in ("lighting", "depth", "normal", "albedo", "fog"):
+        np.testing.assert_array_equal(np.asarray(seg[k]), fused[k])
