@@ -188,9 +188,14 @@ def config3_flythrough(tracer="fused", frames=60):
 
 
 def config4_capture(tracer="fused", views=30):
+    import tempfile
+
     from .capture import run
 
-    n, dt = run(width=512, height=512, limit=views, save=False)
+    # save=True: the BASELINE capability is views ON DISK (PNG + manifest);
+    # the steady-state clock includes draining the encode pool.
+    with tempfile.TemporaryDirectory() as td:
+        n, dt = run(out_dir=td, width=512, height=512, limit=views, save=True)
     rate = n / dt
     return _emit(
         "4_batch_capture", rate, "views/s", {"est_10k_views_min": round(10000 / rate / 60, 1)}
