@@ -56,11 +56,15 @@ LANES = 128
 NB = _N // 8  # 32 bricks per side
 NUM_BRICKS = NB * NB * NB  # 32768
 DETAIL_WORDS = 512 // 32  # 16 i32 words of voxel bits per brick
-# Bricks packed per detail row: the resolve row gather is row-COUNT bound
-# (~8 ns/row, width-irrelevant — docs/DESIGN.md), so packing 4 x-adjacent
-# bricks per row quarters the gather cost of every resolve round for the
-# price of a wider in-register word select.
-DETAIL_PACK = 4
+# 4-bit material palette codes per voxel ride the SAME detail row as the
+# occupancy bits (512 voxels / 8 nibbles per word).  The resolve row
+# gather is row-COUNT bound (~8 ns per GATHERED row, width-irrelevant —
+# docs/DESIGN.md), so the wider row is free and the hit material comes
+# out of the gather the resolve already does, replacing the full-batch
+# element gather over the 16.7M-texel volume (~3 ms at 512²).
+MAT_WORDS = 512 // 8
+PALETTE_SIZE = 16
+_NO_PALETTE = jnp.uint32(0xFFFFFFFF)  # > MATERIAL_MASK: can't be a texel
 
 # Kernel statuses carried per lane (also the meta-word bit layout of the
 # wrapper: done | air<<1 | normal<<2 (3 bits) | parked<<5).
@@ -78,11 +82,16 @@ def build_vol_tables(fused_flat: jax.Array) -> dict[str, jax.Array]:
       'any_hi' — (2, 128) i32; row 0 packs the 4096 16-level any bits
           (128 words); row 1 packs the 512 32-level bits (16 words, lanes
           0-15) and the 64 64-level bits (2 words, lanes 64-65);
-      'detail' — (32768 // DETAIL_PACK, 16 * DETAIL_PACK) i32
-          voxel-solidity bits, DETAIL_PACK x-adjacent bricks per row;
-          within brick b (row b >> 2, sub-slot b & 3), bit v & 31 of word
-          ((b & 3) << 4) | (v >> 5) with v = (lz<<6)|(ly<<3)|lx; stays in
-          HBM and is row-gathered by the XLA resolve step.
+      'detail' — (32768, 16 + 64) i32 per-brick rows: words 0-15 are
+          voxel-solidity bits (bit v & 31 of word v >> 5 with
+          v = (lz<<6)|(ly<<3)|lx), words 16-79 are 4-bit material palette
+          codes (nibble v & 7 of word 16 + (v >> 3)); stays in HBM and is
+          row-gathered once per resolve by the XLA resolve step;
+      'palette' — (16,) uint32 sorted distinct material words (padded with
+          an impossible sentinel), 'pal_ok' — scalar bool, True when the
+          volume holds <= 16 distinct material words so the codes are
+          exact (always true for the reference's 7-material table; on
+          richer content the tracer falls back to the element gather).
 
     Rebuild whenever the volume changes (a streaming slice update); the
     whole build is reductions + bit packs over 16.7M bools, ~1 ms-class on
@@ -118,18 +127,37 @@ def build_vol_tables(fused_flat: jax.Array) -> dict[str, jax.Array]:
 
     # Voxel bits, brick-major: brick b's word w holds voxels
     # v = w*32 .. w*32+31 with v = (lz<<6)|(ly<<3)|lx local to the brick.
-    sb = (
-        solid.reshape(NB, 8, NB, 8, NB, 8)
-        .transpose(0, 2, 4, 1, 3, 5)  # (bz, by, bx, lz, ly, lx)
-        .reshape(NUM_BRICKS, 512)
-    )
-    # DETAIL_PACK x-adjacent bricks per row (bricks are x-minor in the flat
-    # order, so packing is a pure reshape of the brick-major word stream).
-    detail = pack_bits(sb.reshape(-1)).reshape(
-        NUM_BRICKS // DETAIL_PACK, DETAIL_WORDS * DETAIL_PACK
+    def brick_major(x):
+        return (
+            x.reshape(NB, 8, NB, 8, NB, 8)
+            .transpose(0, 2, 4, 1, 3, 5)  # (bz, by, bx, lz, ly, lx)
+            .reshape(NUM_BRICKS, 512)
+        )
+
+    occ = pack_bits(brick_major(solid).reshape(-1)).reshape(
+        NUM_BRICKS, DETAIL_WORDS
     )
 
-    return {"any8": t_any8, "all8": t_all8, "any_hi": hi, "detail": detail}
+    # Material palette: distinct material words of the whole volume (air's
+    # 0 sorts into slot 0; solid hits always map to slots >= 1 because the
+    # packed solid bit makes their word nonzero).
+    mats = (fused_flat & jnp.uint32(MATERIAL_MASK)).astype(jnp.uint32)
+    uniq = jnp.unique(mats, size=PALETTE_SIZE + 1, fill_value=_NO_PALETTE)
+    pal_ok = uniq[PALETTE_SIZE] == _NO_PALETTE
+    palette = uniq[:PALETTE_SIZE]
+    codes = jnp.clip(
+        jnp.searchsorted(palette, mats), 0, PALETTE_SIZE - 1
+    ).astype(jnp.uint32)
+    cb = brick_major(codes.reshape(_N, _N, _N)).reshape(-1, 8)
+    shifts = (jnp.arange(8, dtype=jnp.uint32) * 4)[None, :]
+    matw = jnp.sum(cb << shifts, axis=1).astype(jnp.int32)
+    matw = matw.reshape(NUM_BRICKS, MAT_WORDS)
+
+    detail = jnp.concatenate([occ, matw], axis=1)
+    return {
+        "any8": t_any8, "all8": t_all8, "any_hi": hi, "detail": detail,
+        "palette": palette, "pal_ok": pal_ok,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -307,6 +335,12 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
     round.
     """
     parked = (meta & _PARKED) != 0
+    # Kernel-direct hits (a fully-solid brick entered straight from the
+    # coarse pass) never march here, but their material code must still be
+    # extracted — include them in the row gather.  mcode 0 == unset: a
+    # solid hit's material word is nonzero, so its palette slot is >= 1
+    # (slot 0 is air's 0 word).
+    need_code = ((meta & (_DONE | _AIR)) == _DONE) & (((meta >> 6) & 15) == 0)
     lrf = lr.astype(jnp.float32)
 
     def brick_of(pxv, pyv, pzv):
@@ -319,11 +353,10 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
         return ((tz >> 3) * NB + (ty >> 3)) * NB + (tx >> 3), tx, ty, tz
 
     b0, _, _, _ = brick_of(px, py, pz)
-    b0 = jnp.where(parked, b0, 0)
-    # (n, 16*DETAIL_PACK) row gather — the only volume memory touch.  The
-    # row holds DETAIL_PACK x-adjacent bricks; sub selects this ray's one.
-    words = detail[b0 >> 2]
-    sub = b0 & (DETAIL_PACK - 1)
+    b0 = jnp.where(parked | need_code, b0, 0)
+    # (n, 16+64) row gather — the only volume memory touch (occupancy bits
+    # + material palette nibbles; see build_vol_tables).
+    words = detail[b0]
 
     inv_len = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-20))
     dxv, dyv, dzv = dx * inv_len, dy * inv_len, dz * inv_len
@@ -368,9 +401,9 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
         act = act & inside
 
         v = ((tz & 7) << 6) | ((ty & 7) << 3) | (tx & 7)
-        wsel = (sub << 4) | (v >> 5)  # word index within the packed row
+        wsel = v >> 5  # occupancy word index 0..15
         word = jnp.zeros_like(v)
-        for w in range(DETAIL_WORDS * DETAIL_PACK):
+        for w in range(DETAIL_WORDS):
             word = jnp.where(wsel == w, words[:, w], word)
         solid = ((word >> (v & 31)) & 1) == 1
         hit = act & solid
@@ -402,6 +435,19 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
     # kernel re-classifies them next round at their current position).
     hit = parked & (s["status"] == 1)
     air = parked & (s["status"] == 3)
+
+    # Material palette code of the hit voxel, straight from the row this
+    # resolve already gathered (resolve hits landed inside brick b0 by
+    # construction; kernel-direct hits sit inside their fully-solid b0).
+    _, htx, hty, htz = brick_of(s["px"], s["py"], s["pz"])
+    hv = ((htz & 7) << 6) | ((hty & 7) << 3) | (htx & 7)
+    msel = hv >> 3
+    mword = jnp.zeros_like(hv)
+    for w in range(MAT_WORDS):
+        mword = jnp.where(msel == w, words[:, DETAIL_WORDS + w], mword)
+    mcode = (mword >> ((hv & 7) << 2)) & 15
+    set_code = hit | need_code
+
     new_meta = jnp.where(
         parked,
         jnp.where(
@@ -415,6 +461,7 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
         ),
         meta,
     )
+    new_meta = jnp.where(set_code, new_meta | (mcode << 6), new_meta)
     return (
         jnp.where(parked, s["px"], px),
         jnp.where(parked, s["py"], py),
@@ -588,15 +635,40 @@ def trace_rays_vol(
     air = unflat((cmeta >> 1) & 1).astype(bool)
     done = unflat(cmeta & 1).astype(bool)
     hit = done & ~air
+    mcode = unflat((cmeta >> 6) & 15)
 
-    # Material at the hit voxel: ONE per-element toroidal gather over the
-    # fused volume, only after all rounds (non-hits gather index 0).
+    # Material at the hit voxel.  Fast path: the 4-bit palette code the
+    # resolve extracted from its own row gather, decoded against the
+    # <=16-entry palette (a short select chain) — no volume memory touch.
+    # Fallback (volume with >16 distinct material words, or a hit that
+    # somehow carries no code): ONE per-element toroidal gather over the
+    # fused volume.  lax.cond keeps the gather out of the common path.
     pos = jnp.stack([px, py, pz], axis=-1)
-    t = jnp.remainder(jnp.floor(pos + jnp.float32(_HALF)).astype(jnp.int32), _N)
-    lin = (t[..., 2] * _N + t[..., 1]) * _N + t[..., 0]
-    packed = jnp.where(
-        hit, fused_flat[jnp.where(hit, lin, 0)] & jnp.uint32(MATERIAL_MASK), 0
-    )
+    palette = tables["palette"]
+
+    def from_palette(_):
+        p = jnp.zeros(mcode.shape, jnp.uint32)
+        for k in range(PALETTE_SIZE):
+            p = jnp.where(mcode == k, palette[k], p)
+        return jnp.where(hit, p, 0)
+
+    def from_gather(_):
+        t = jnp.remainder(
+            jnp.floor(pos + jnp.float32(_HALF)).astype(jnp.int32), _N
+        )
+        lin = (t[..., 2] * _N + t[..., 1]) * _N + t[..., 0]
+        return jnp.where(
+            hit,
+            fused_flat[jnp.where(hit, lin, 0)] & jnp.uint32(MATERIAL_MASK),
+            0,
+        )
+
+    # Born-done rays (active=False) report done&~air with no code — their
+    # outputs are caller-masked by contract, so they must not force the
+    # fallback.
+    real_hit = hit if active is None else hit & active.reshape(shape)
+    pal_usable = tables["pal_ok"] & jnp.all(~real_hit | (mcode > 0))
+    packed = jax.lax.cond(pal_usable, from_palette, from_gather, 0)
 
     from . import shading
 

@@ -171,12 +171,26 @@ def test_pyramid_table_invariants():
     np.testing.assert_array_equal(
         any16, solid.reshape(16, 16, 16, 16, 16, 16).any((1, 3, 5))
     )
-    # Detail bits reconstruct the exact voxel grid.
-    det = t["detail"]
-    bits = ((det.reshape(-1)[:, None] >> np.arange(32)[None, :]) & 1).astype(bool)
+    # Detail rows: words 0-15 (occupancy bits) reconstruct the exact voxel
+    # grid; words 16-79 (4-bit palette codes) reconstruct the exact
+    # material word of every voxel through the palette.
+    det = np.asarray(t["detail"])
+    occ = det[:, :16]
+    bits = ((occ.reshape(-1)[:, None] >> np.arange(32)[None, :]) & 1).astype(bool)
     vox = bits.reshape(32, 32, 32, 8, 8, 8)  # (bz,by,bx,lz,ly,lx)
     vox = vox.transpose(0, 3, 1, 4, 2, 5).reshape(256, 256, 256)
     np.testing.assert_array_equal(vox, solid)
+
+    assert bool(t["pal_ok"])
+    matw = det[:, 16:].astype(np.uint32)
+    nib = (matw.reshape(-1)[:, None] >> (4 * np.arange(8)[None, :])) & 15
+    codes = nib.reshape(32, 32, 32, 8, 8, 8).transpose(0, 3, 1, 4, 2, 5)
+    codes = codes.reshape(256, 256, 256)
+    palette = np.asarray(t["palette"])
+    from raytrace_tpu.ops.trace_jax import MATERIAL_MASK
+
+    want_mats = (np.asarray(fused).reshape(256, 256, 256) & MATERIAL_MASK)
+    np.testing.assert_array_equal(palette[codes], want_mats.astype(np.uint32))
 
 
 @pytest.mark.slow
@@ -195,3 +209,19 @@ def test_pathological_content_reports_exhausted():
     # Either it found a hit within 2 rounds or it reported exhausted;
     # the call must complete and stay finite.
     assert np.isfinite(np.asarray(got["position"])).all()
+
+
+def test_palette_path_matches_gather_path(weird_world):
+    """The palette material decode must be bit-identical to the element
+    gather it replaces (trace_rays_vol's lax.cond fallback)."""
+    fused, tables = weird_world
+    assert bool(np.asarray(tables["pal_ok"]))
+    o, d = _cam_rays((0.0, 0.0, 120.0), -0.6)
+    got_pal = trace_rays_vol(tables, fused, o, d, LR, interpret=True)
+    forced = dict(tables, pal_ok=jnp.asarray(False))
+    got_gat = trace_rays_vol(forced, fused, o, d, LR, interpret=True)
+    hit = ~np.asarray(got_pal["air"])
+    assert hit.any()
+    np.testing.assert_array_equal(
+        np.asarray(got_pal["albedo"]), np.asarray(got_gat["albedo"])
+    )
