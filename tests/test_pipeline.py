@@ -149,3 +149,35 @@ def test_packed_fast_path_matches_legacy(full_world_volume):
         )
         frames.append(np.asarray(p.draw_frame(cam, 0.6)))
     np.testing.assert_allclose(frames[0], frames[1], atol=1e-5)
+
+
+@pytest.mark.slow
+def test_volume_fast_pipeline_matches_direct_program(full_world_volume):
+    """Pipeline(tracer='volume_fast') glue — the rebuild-tables-on-volume-
+    change logic and uniforms wiring — must reproduce the direct
+    render_frame program bit-exactly.  (The tracer itself is oracle-tested
+    against the exact reference DDA in test_trace_vol.py; comparing whole
+    pipelines here would really compare step-budget exhaustion behavior.)"""
+    from raytrace_tpu.ops.trace_vol_pallas import build_vol_tables
+    from raytrace_tpu.render.camera import Camera
+    from raytrace_tpu.render.pipeline import render_frame
+
+    mats, mf = full_world_volume
+    fused = fuse_volume(jnp.asarray(mats), jnp.asarray(mf))
+    cam = Camera(origin=[-30.0, -100.0, 60.0])
+    cam.pitch = -0.3
+    p = Pipeline(
+        width=48, height=48, max_steps=512, tracer="volume_fast",
+        preloaded_volume=fused,
+    )
+    f_pipe = np.asarray(p.draw_frame(cam, 0.6))
+    # draw_frame advanced the uniforms before rendering; they now hold the
+    # exact values the frame used.
+    tables = build_vol_tables(p.streamer.volume)
+    f_direct = np.asarray(
+        render_frame(
+            (p.streamer.volume, tables), p.blue_noise,
+            p.uniforms.as_device_dict(), 48, 48, 512, tracer="volume_fast",
+        )
+    )
+    np.testing.assert_array_equal(f_pipe, f_direct)
