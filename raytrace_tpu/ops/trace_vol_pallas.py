@@ -71,6 +71,61 @@ _NO_PALETTE = jnp.uint32(0xFFFFFFFF)  # > MATERIAL_MASK: can't be a texel
 _DONE, _AIR, _PARKED = 1, 2, 32
 
 
+def _pack_bits32(bits_flat):
+    """Flat bool (32*k,) -> packed i32 (k,), bit i of word i >> 5."""
+    b = bits_flat.reshape(-1, 32).astype(jnp.uint32)
+    w = jnp.sum(b << jnp.arange(32, dtype=jnp.uint32)[None, :], axis=1)
+    return w.astype(jnp.int32)
+
+
+def _pack_pyramid(any8b, all8b):
+    """(32,32,32) per-brick any/all bools -> packed any8/all8/any_hi."""
+    t_any8 = _pack_bits32(any8b.reshape(-1)).reshape(8, 128)
+    t_all8 = _pack_bits32(all8b.reshape(-1)).reshape(8, 128)
+    any16 = any8b.reshape(16, 2, 16, 2, 16, 2).any((1, 3, 5))
+    any32 = any16.reshape(8, 2, 8, 2, 8, 2).any((1, 3, 5))
+    any64 = any32.reshape(4, 2, 4, 2, 4, 2).any((1, 3, 5))
+    hi = jnp.zeros((2, 128), jnp.int32)
+    hi = hi.at[0].set(_pack_bits32(any16.reshape(-1)))
+    hi = hi.at[1, :16].set(_pack_bits32(any32.reshape(-1)))
+    hi = hi.at[1, 64:66].set(_pack_bits32(any64.reshape(-1)))
+    return t_any8, t_all8, hi
+
+
+def _brick_major(x3):
+    """(Z,Y,X) with dims multiples of 8 -> (n_bricks, 512) voxel-major rows
+    ordered (bz, by, bx) with v = (lz<<6)|(ly<<3)|lx inside each brick."""
+    z, y, x = x3.shape
+    return (
+        x3.reshape(z // 8, 8, y // 8, 8, x // 8, 8)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(-1, 512)
+    )
+
+
+def _detail_rows(solid3, codes3):
+    """Per-brick detail rows (occupancy bits + material-code nibbles)."""
+    occ = _pack_bits32(_brick_major(solid3).reshape(-1)).reshape(
+        -1, DETAIL_WORDS
+    )
+    cb = _brick_major(codes3).reshape(-1, 8)
+    shifts = (jnp.arange(8, dtype=jnp.uint32) * 4)[None, :]
+    matw = jnp.sum(cb << shifts, axis=1).astype(jnp.int32)
+    return jnp.concatenate([occ, matw.reshape(-1, MAT_WORDS)], axis=1)
+
+
+def _codes_for(palette, mats):
+    """4-bit palette codes for material words + exact-coverage flag."""
+    flat = mats.reshape(-1)
+    codes = jnp.clip(
+        jnp.searchsorted(palette, flat), 0, PALETTE_SIZE - 1
+    ).astype(jnp.uint32)
+    recon = jnp.zeros_like(flat)
+    for k in range(PALETTE_SIZE):  # select chain: a big gather is slow
+        recon = jnp.where(codes == k, palette[k], recon)
+    return codes.reshape(mats.shape), jnp.all(recon == flat)
+
+
 @jax.jit
 def build_vol_tables(fused_flat: jax.Array) -> dict[str, jax.Array]:
     """Occupancy pyramid for an arbitrary fused volume (trace_jax layout).
@@ -93,78 +148,91 @@ def build_vol_tables(fused_flat: jax.Array) -> dict[str, jax.Array]:
           exact (always true for the reference's 7-material table; on
           richer content the tracer falls back to the element gather).
 
-    Rebuild whenever the volume changes (a streaming slice update); the
-    whole build is reductions + bit packs over 16.7M bools, ~1 ms-class on
-    TPU.  Solidity = minefield step == 0, matching trace_jax's hit test.
+    Rebuild whenever the whole volume changes; after a streamed 16-voxel
+    slab write, prefer update_vol_tables (recomputes only the touched
+    bricks).  'any8b'/'all8b' — (32,32,32) per-brick bools — are carried in
+    the dict purely as the incremental path's working state.  Solidity =
+    minefield step == 0, matching trace_jax's hit test.
     """
     step = (fused_flat.reshape(_N, _N, _N) >> STEP_SHIFT).astype(jnp.int32)
     solid = step == 0  # (z, y, x) texel space
 
-    def pool_any(x, k):
-        n = _N >> k
-        s = 1 << k
-        return x.reshape(n, s, n, s, n, s).any((1, 3, 5))
-
-    def pack_bits(bits_flat):
-        """Flat bool (32*k,) -> packed i32 (k,), bit i of word i >> 5."""
-        b = bits_flat.reshape(-1, 32).astype(jnp.uint32)
-        w = jnp.sum(b << jnp.arange(32, dtype=jnp.uint32)[None, :], axis=1)
-        return w.astype(jnp.int32)
-
-    any8 = pool_any(solid, 3)  # (32, 32, 32)
-    all8 = solid.reshape(NB, 8, NB, 8, NB, 8).all((1, 3, 5))
-    any16 = pool_any(solid, 4)  # (16,16,16) -> 4096 bits
-    any32 = pool_any(solid, 5)  # (8,8,8) -> 512 bits
-    any64 = pool_any(solid, 6)  # (4,4,4) -> 64 bits
-
-    t_any8 = pack_bits(any8.reshape(-1)).reshape(8, 128)
-    t_all8 = pack_bits(all8.reshape(-1)).reshape(8, 128)
-
-    hi = jnp.zeros((2, 128), jnp.int32)
-    hi = hi.at[0].set(pack_bits(any16.reshape(-1)))
-    hi = hi.at[1, :16].set(pack_bits(any32.reshape(-1)))
-    hi = hi.at[1, 64:66].set(pack_bits(any64.reshape(-1)))
-
-    # Voxel bits, brick-major: brick b's word w holds voxels
-    # v = w*32 .. w*32+31 with v = (lz<<6)|(ly<<3)|lx local to the brick.
-    def brick_major(x):
-        return (
-            x.reshape(NB, 8, NB, 8, NB, 8)
-            .transpose(0, 2, 4, 1, 3, 5)  # (bz, by, bx, lz, ly, lx)
-            .reshape(NUM_BRICKS, 512)
-        )
-
-    occ = pack_bits(brick_major(solid).reshape(-1)).reshape(
-        NUM_BRICKS, DETAIL_WORDS
-    )
+    any8b = solid.reshape(NB, 8, NB, 8, NB, 8).any((1, 3, 5))
+    all8b = solid.reshape(NB, 8, NB, 8, NB, 8).all((1, 3, 5))
+    t_any8, t_all8, hi = _pack_pyramid(any8b, all8b)
 
     # Material palette: distinct material words of the whole volume (air's
     # 0 sorts into slot 0; solid hits always map to slots >= 1 because the
-    # packed solid bit makes their word nonzero).
+    # packed solid bit makes their word nonzero).  Candidate palette from a
+    # subsample (a full 16.7M unique-sort would cost tens of ms per
+    # rebuild), then verified EXACTLY against every voxel: a value the
+    # sample missed only flips pal_ok to the fallback gather, never
+    # corrupts a material.
     mats = (fused_flat & jnp.uint32(MATERIAL_MASK)).astype(jnp.uint32)
-    # Palette from a subsample (a full 16.7M unique-sort would cost tens of
-    # ms per streaming table rebuild), then verified EXACTLY against every
-    # voxel below: a value the sample missed only flips pal_ok to the
-    # fallback gather, never corrupts a material.
     sample = mats[::251]
     uniq = jnp.unique(sample, size=PALETTE_SIZE + 1, fill_value=_NO_PALETTE)
     palette = uniq[:PALETTE_SIZE]
-    codes = jnp.clip(
-        jnp.searchsorted(palette, mats), 0, PALETTE_SIZE - 1
-    ).astype(jnp.uint32)
-    recon = jnp.zeros_like(mats)
-    for k in range(PALETTE_SIZE):  # select chain: a 16.7M gather is slow
-        recon = jnp.where(codes == k, palette[k], recon)
-    pal_ok = jnp.all(recon == mats)
-    cb = brick_major(codes.reshape(_N, _N, _N)).reshape(-1, 8)
-    shifts = (jnp.arange(8, dtype=jnp.uint32) * 4)[None, :]
-    matw = jnp.sum(cb << shifts, axis=1).astype(jnp.int32)
-    matw = matw.reshape(NUM_BRICKS, MAT_WORDS)
+    codes, pal_ok = _codes_for(palette, mats)
 
-    detail = jnp.concatenate([occ, matw], axis=1)
+    detail = _detail_rows(solid, codes.reshape(_N, _N, _N))
     return {
         "any8": t_any8, "all8": t_all8, "any_hi": hi, "detail": detail,
         "palette": palette, "pal_ok": pal_ok,
+        "any8b": any8b, "all8b": all8b,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("arr_axis",))
+def update_vol_tables(
+    tables: dict, fused_flat: jax.Array, t, arr_axis: int
+) -> dict[str, jax.Array]:
+    """Incremental table refresh after one streamed slab write.
+
+    The streamer writes a SLICE_SIZE(16)-voxel-thick slab at texel start
+    ``t`` along array axis ``arr_axis`` of the (z, y, x) volume
+    (streaming._store_slab); only the two touched brick planes change, so
+    recomputing them (1M voxels) beats the full 16.7M-voxel rebuild ~16x.
+    Matches build_vol_tables(new volume) bit-exactly on every table, with
+    one deliberate exception: the palette is NOT re-derived — new material
+    words outside it flip pal_ok False (exact fallback gather) until the
+    next full rebuild.
+    """
+    vol3 = fused_flat.reshape(_N, _N, _N)
+    t = jnp.asarray(t, jnp.int32)
+    starts = [jnp.int32(0)] * 3
+    starts[arr_axis] = t
+    sizes = [_N] * 3
+    sizes[arr_axis] = 16
+    slab = jax.lax.dynamic_slice(vol3, starts, tuple(sizes))
+    solid = ((slab >> STEP_SHIFT).astype(jnp.int32)) == 0
+    mats = (slab & jnp.uint32(MATERIAL_MASK)).astype(jnp.uint32)
+    palette = tables["palette"]
+    codes, slab_ok = _codes_for(palette, mats)
+
+    bdims = tuple(s // 8 for s in sizes)
+    pooled = solid.reshape(
+        bdims[0], 8, bdims[1], 8, bdims[2], 8
+    )
+    sa = pooled.any((1, 3, 5))
+    sf = pooled.all((1, 3, 5))
+    bstarts = [jnp.int32(0)] * 3
+    bstarts[arr_axis] = t >> 3
+    any8b = jax.lax.dynamic_update_slice(tables["any8b"], sa, bstarts)
+    all8b = jax.lax.dynamic_update_slice(tables["all8b"], sf, bstarts)
+    t_any8, t_all8, hi = _pack_pyramid(any8b, all8b)
+
+    rows = _detail_rows(solid, codes)
+    det4 = tables["detail"].reshape(NB, NB, NB, DETAIL_WORDS + MAT_WORDS)
+    det4 = jax.lax.dynamic_update_slice(
+        det4,
+        rows.reshape(bdims + (DETAIL_WORDS + MAT_WORDS,)),
+        bstarts + [jnp.int32(0)],
+    )
+    return {
+        "any8": t_any8, "all8": t_all8, "any_hi": hi,
+        "detail": det4.reshape(NUM_BRICKS, DETAIL_WORDS + MAT_WORDS),
+        "palette": palette, "pal_ok": tables["pal_ok"] & slab_ok,
+        "any8b": any8b, "all8b": all8b,
     }
 
 

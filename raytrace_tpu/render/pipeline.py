@@ -347,12 +347,27 @@ class Pipeline:
             world = self._hf_tables
         elif self.tracer == "volume_fast":
             # The occupancy pyramid is a derived acceleration structure:
-            # rebuild whenever streaming replaced the volume array (every
-            # update produces a new donated array object).
+            # refresh whenever streaming replaced the volume array (every
+            # update produces a new donated array object).  Streamed slab
+            # writes refresh incrementally (only the touched brick planes,
+            # ~16x less work than a rebuild — the analog of the reference
+            # uploading its minefield WITH the slice, terrain_upload.rs);
+            # initialize/teleport invalidate the log and rebuild fully.
             if self._vol_tables_for is not self.streamer.volume:
-                from ..ops.trace_vol_pallas import build_vol_tables
+                from ..ops.trace_vol_pallas import (
+                    build_vol_tables,
+                    update_vol_tables,
+                )
 
-                self._vol_tables = build_vol_tables(self.streamer.volume)
+                log = self.streamer.drain_slab_log()
+                if self._vol_tables is not None and log is not None:
+                    for arr_axis, t0 in log:
+                        self._vol_tables = update_vol_tables(
+                            self._vol_tables, self.streamer.volume, t0,
+                            arr_axis,
+                        )
+                else:
+                    self._vol_tables = build_vol_tables(self.streamer.volume)
                 self._vol_tables_for = self.streamer.volume
             world = (self.streamer.volume, self._vol_tables)
         else:

@@ -146,6 +146,10 @@ class TerrainStreamer:
         self.gpu_position = Position()
         self.request_queue: list[SliceRequest] = []
         self.volume = None  # fused u32 (256^3,) device array
+        # Slab write log for incremental derived-table updates
+        # ((arr_axis, texel_start) per applied slice); None = the whole
+        # volume changed (initialize/teleport) and consumers must rebuild.
+        self._slab_log: list[tuple[int, int]] | None = None
 
     # -- initialization (render_data.rs:203-301) --
     def initialize(self, volume=None) -> jax.Array:
@@ -204,6 +208,7 @@ class TerrainStreamer:
         self.cpu_position = pos
         self.gpu_position = pos
         self.request_queue.clear()
+        self._slab_log = None  # whole volume replaced: tables must rebuild
         self.volume = _generate_region(
             jnp.asarray(pos.origin, jnp.int32), jnp.asarray(ns, jnp.int32), self.seed
         )
@@ -274,8 +279,23 @@ class TerrainStreamer:
             )
         else:
             self.volume = self._apply_from_cache(req, w0, shape)
+        if self._slab_log is not None:
+            # Array axis 2-axis: the volume is (z, y, x); texel start
+            # matches _store_slab's dynamic_update_slice offset.
+            self._slab_log.append(
+                (2 - req.axis, req.num_slices[req.axis] * SLICE_SIZE)
+            )
         self.gpu_position = req.new_position
         return True
+
+    def drain_slab_log(self):
+        """Consume the slab log: a list of (arr_axis, texel_start) writes
+        since the last drain, or None when the whole volume was replaced
+        (consumers must fully rebuild derived tables).  Draining arms the
+        log either way."""
+        log = self._slab_log
+        self._slab_log = []
+        return log
 
     def _apply_from_cache(self, req: SliceRequest, w0, shape):
         """Host path: assemble the slab from cached chunks (native copy3d),

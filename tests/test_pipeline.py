@@ -181,3 +181,32 @@ def test_volume_fast_pipeline_matches_direct_program(full_world_volume):
         )
     )
     np.testing.assert_array_equal(f_pipe, f_direct)
+
+
+@pytest.mark.slow
+def test_volume_fast_streaming_updates_tables_incrementally(full_world_volume):
+    """Streamed slab writes must leave the pipeline's incrementally-updated
+    vol tables bit-identical to a full rebuild of the final volume."""
+    from raytrace_tpu.ops.trace_vol_pallas import build_vol_tables
+    from raytrace_tpu.render.camera import Camera
+
+    mats, mf = full_world_volume
+    fused = fuse_volume(jnp.asarray(mats), jnp.asarray(mf))
+    p = Pipeline(
+        width=32, height=32, max_steps=256, tracer="volume_fast",
+        preloaded_volume=fused,
+    )
+    cam = Camera(origin=[-30.0, -100.0, 60.0])
+    cam.pitch = -0.3
+    p.draw_frame(cam, 0.6)  # full table build (log was None)
+    moved = False
+    for _ in range(4):
+        cam.origin[0] += 18.0  # cross slice boundaries: one slab per frame
+        p.draw_frame(cam, 0.6)
+        moved = moved or p._vol_tables_for is p.streamer.volume
+    assert p.streamer.gpu_position.num_loaded_slices != (0, 0, 0)
+    want = build_vol_tables(p.streamer.volume)
+    for k in want:
+        np.testing.assert_array_equal(
+            np.asarray(p._vol_tables[k]), np.asarray(want[k]), err_msg=k
+        )

@@ -225,3 +225,34 @@ def test_palette_path_matches_gather_path(weird_world):
     np.testing.assert_array_equal(
         np.asarray(got_pal["albedo"]), np.asarray(got_gat["albedo"])
     )
+
+
+def test_update_vol_tables_matches_full_rebuild(weird_world):
+    """After a 16-thick slab write, the incremental table update must equal
+    a full rebuild bit-for-bit on every table (pal_ok included, content
+    drawn from the existing palette)."""
+    from raytrace_tpu.ops.trace_vol_pallas import update_vol_tables
+
+    fused, tables = weird_world
+    vol3 = np.asarray(fused).reshape(256, 256, 256).copy()
+    rng = np.random.default_rng(7)
+    for arr_axis, t0 in ((0, 32), (1, 240), (2, 0)):
+        sl = [slice(None)] * 3
+        sl[arr_axis] = slice(t0, t0 + 16)
+        # New content using existing material words (palette stays valid):
+        # zero 30% of the slab's words (word 0 is in every palette).
+        region = vol3[tuple(sl)]
+        mask = rng.random(region.shape) < 0.3
+        vol3[tuple(sl)] = np.where(mask, 0, region)
+        new_fused = jnp.asarray(vol3.reshape(-1))
+        # Minefield consistency doesn't matter for tables (they read only
+        # step==0 and material bits), so the raw edit is fine here.
+        from raytrace_tpu.ops.trace_vol_pallas import build_vol_tables
+
+        want = build_vol_tables(new_fused)
+        got = update_vol_tables(tables, new_fused, t0, arr_axis)
+        for k in want:
+            np.testing.assert_array_equal(
+                np.asarray(got[k]), np.asarray(want[k]), err_msg=f"{k} ax{arr_axis}"
+            )
+        tables = got
