@@ -285,6 +285,11 @@ class TerrainStreamer:
             self._slab_log.append(
                 (2 - req.axis, req.num_slices[req.axis] * SLICE_SIZE)
             )
+            if len(self._slab_log) > 64:
+                # Consumer isn't draining (hf/fused tracers never do) or
+                # fell far behind: stop accumulating; a later drain just
+                # triggers one full rebuild.
+                self._slab_log = None
         self.gpu_position = req.new_position
         return True
 
