@@ -16,7 +16,6 @@ do not feed the kernels.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
 
 import jax
