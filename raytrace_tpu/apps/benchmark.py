@@ -109,11 +109,18 @@ def config1_single_chunk(tracer="volume_fast"):
                 fused, bn, moved(t), 512, 512, 1024, bounces=0
             )["albedo"]
     else:
+        import os
+
         tables = build_vol_tables(fused)
+        # A/B knob: compact late-round resolves to O(live) gathered rows
+        # (trace_vol_pallas._resolve_maybe_compact).
+        cc = os.environ.get("RAYTRACE_TPU_COMPACT_CAP")
+        compact_cap = int(cc) if cc else None
 
         def frame(t):
             return render_gbuffers_vol(
-                fused, tables, bn, moved(t), 512, 512, 1024, bounces=0
+                fused, tables, bn, moved(t), 512, 512, 1024, bounces=0,
+                compact_cap=compact_cap,
             )["albedo"]
 
     dt = _time_chained(frame)
@@ -155,10 +162,10 @@ def config2_world_1080p(tracer="fused"):
     )
 
 
-def config3_flythrough(tracer="fused", frames=60):
+def config3_flythrough(tracer="fused", frames=60, bounces=2, _name=None):
     from collections import deque
 
-    pipeline = Pipeline(width=1024, height=1024, tracer=tracer)
+    pipeline = Pipeline(width=1024, height=1024, tracer=tracer, bounces=bounces)
     cam = Camera(origin=[-30.0, -100.0, 60.0])
     cam.pitch = -0.1
     # Warm up compile + initial streaming.
@@ -183,22 +190,39 @@ def config3_flythrough(tracer="fused", frames=60):
     _sync(last)
     dt = (time.monotonic() - t0) / frames
     return _emit(
-        "3_flythrough_streaming", dt * 1e3, "ms/frame", {"fps": round(1 / dt, 2)}
+        _name or "3_flythrough_streaming", dt * 1e3, "ms/frame",
+        {"fps": round(1 / dt, 2), "bounces": bounces},
     )
 
 
-def config4_capture(tracer="fused", views=30):
+def config3_flythrough_both(tracer="fused", frames=60):
+    """Config 3 full (2 bounces, 5 rays/px) + the interactive preset
+    (1 bounce, 3 rays/px — the reference's visual floor is the denoiser)."""
+    full = config3_flythrough(tracer, frames, bounces=2)
+    interactive = config3_flythrough(
+        tracer, frames, bounces=1, _name="3_flythrough_interactive"
+    )
+    return full, interactive
+
+
+def config4_capture(tracer="fused", views=30, fmt="dat"):
     import tempfile
 
     from .capture import run
 
-    # save=True: the BASELINE capability is views ON DISK (PNG + manifest);
-    # the steady-state clock includes draining the encode pool.
+    # save=True: the BASELINE capability is views ON DISK (+ manifest); the
+    # steady-state clock includes draining the encode pool.  Default format
+    # is the raw u8 .dat the reference sweep wrote
+    # (capture_training_data.py) — on this single-core host zlib encoding,
+    # not rendering, bounds PNG throughput.
     with tempfile.TemporaryDirectory() as td:
-        n, dt = run(out_dir=td, width=512, height=512, limit=views, save=True)
+        n, dt = run(
+            out_dir=td, width=512, height=512, limit=views, save=True, fmt=fmt
+        )
     rate = n / dt
     return _emit(
-        "4_batch_capture", rate, "views/s", {"est_10k_views_min": round(10000 / rate / 60, 1)}
+        "4_batch_capture", rate, "views/s",
+        {"est_10k_views_min": round(10000 / rate / 60, 1), "format": fmt},
     )
 
 
@@ -209,6 +233,14 @@ def config5_tiled_4k(tracer="fused"):
         from ..ops.trace_pallas import build_hf_tables
 
         world = build_hf_tables(jnp.zeros(3, jnp.int32), seed=0)
+    elif tracer == "volume_fast":
+        from ..ops.trace_jax import fuse_volume
+        from ..ops.trace_vol_pallas import build_vol_tables
+        from ..world.generate import generate_box
+
+        box = generate_box((-128, -128, -128), (256, 256, 256), seed=0)
+        fused = fuse_volume(box["materials"], box["minefield"])
+        world = (fused, build_vol_tables(fused))
     else:
         from ..ops.trace_jax import fuse_volume
         from ..world.generate import generate_box
@@ -222,15 +254,15 @@ def config5_tiled_4k(tracer="fused"):
     mesh = make_tile_mesh()
     n_dev = len(jax.devices())
     W, H = 3840, 2160
-    from ..ops.denoise_pallas import scoped_vmem_options
 
-    f = jax.jit(
-        lambda v, b, u: render_frame_tiled(
+    # render_frame_tiled carries its own jit + scoped-vmem compiler options
+    # (the per-device denoise region runs the real Pallas chain now — on a
+    # 1-device mesh the whole frame does).
+    def f(v, b, u):
+        return render_frame_tiled(
             v, b, u, W, H, mesh, MAX_TRACE_STEPS, tracer=tracer
-        ),
-        # The per-device band (H/n rows) runs the striped denoise chain.
-        compiler_options=scoped_vmem_options(H // max(n_dev, 1), W),
-    )
+        )
+
     _sync(f(world, bn, uni))
     t0 = time.monotonic()
     n = 3
@@ -245,7 +277,7 @@ def config5_tiled_4k(tracer="fused"):
 CONFIGS = {
     "1": config1_single_chunk,
     "2": config2_world_1080p,
-    "3": config3_flythrough,
+    "3": config3_flythrough_both,
     "4": config4_capture,
     "5": config5_tiled_4k,
 }

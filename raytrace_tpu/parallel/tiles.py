@@ -7,13 +7,17 @@ image into row bands over a 1-D `jax.sharding.Mesh` ("tiles" axis) under
 
   * the world volume and blue noise are replicated (64 MB — cheap),
   * each device path-traces its own band (embarrassingly parallel),
-  * the 6-pass a-trous denoiser exchanges 3*size-row halos with band
-    neighbors per pass via `lax.ppermute` over ICI — the exact sharded
-    equivalent of the single-device stencil (no approximation at seams),
+  * the 6-pass a-trous denoiser runs the full VMEM Pallas chain per device
+    after ONE `lax.ppermute` halo exchange of 2*ROW_HALO = 256 real rows
+    per neighbor (exact: the chain's total influence radius is 117 rows —
+    see _denoise_band_pallas); bands too narrow for that fall back to the
+    banded XLA stencil with six per-pass 3*size-row exchanges, and tiny
+    test bands to an all_gather,
   * finalize runs per band; the assembled frame is flipped once globally.
 
-Collective cost per frame: 6 passes x 2 directions x (3*size rows x width x
-4 buffers), nearest-neighbor only — rides ICI, never DCN.
+Collective cost per frame (Pallas plan): 2 directions x (256 rows x width x
+(3 lighting f32 + depth u16 + normal u8)), nearest-neighbor only — rides
+ICI, never DCN.
 """
 
 from __future__ import annotations
@@ -31,6 +35,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..constants import DENOISE_SIZES, MAX_TRACE_STEPS, NORMAL_SKY
 from ..ops.denoise import _CENTER_WEIGHT, _TAPS
+from ..ops.denoise_pallas import STRIP_HALO as ROW_HALO
 from ..ops.finalize import finalize_frame
 from ..ops.trace_jax import render_gbuffers
 
@@ -98,9 +103,62 @@ def _denoise_pass_banded(lighting, depth, normal, size: int, axis_name: str):
     return jnp.where((center_n >= NORMAL_SKY)[..., None], lighting, blurred)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("width", "height", "max_steps", "mesh", "tracer")
-)
+def _denoise_band_pallas(lighting, depth, normal, band, height, row0, axis_name):
+    """The full 6-pass VMEM Pallas chain on this device's band, exact.
+
+    One halo exchange of 2*ROW_HALO rows per neighbor replaces the six
+    per-pass stencil exchanges; each device then denoises a
+    (band + 2*ROW_HALO)-row region of REAL rows that contains its center
+    band at least ROW_HALO = 128 rows from every region boundary that is
+    not a true image edge.  The chain's total influence radius is
+    sum(3 * size) = 117 < 128, so the center rows are bit-identical to the
+    full-frame chain; where a region boundary IS the image edge the chain's
+    per-pass edge clamp is exactly the reference semantics
+    (bilateral_denoise.comp:14-21).  Same exactness-by-halo argument as the
+    column strips (denoise_pallas.STRIP_HALO), turned back 90 degrees.
+
+    Requires band >= 2*ROW_HALO (single-hop ppermute); callers guard.
+    """
+    from ..ops.denoise_pallas import denoise_chain_pallas
+
+    n = jax.lax.axis_size(axis_name)
+    i = jax.lax.axis_index(axis_name)
+    h2 = 2 * ROW_HALO
+
+    def ext(x):
+        if n > 1:
+            top = jax.lax.ppermute(
+                x[-h2:], axis_name, [(j, j + 1) for j in range(n - 1)]
+            )
+            bot = jax.lax.ppermute(
+                x[:h2], axis_name, [(j + 1, j) for j in range(n - 1)]
+            )
+        else:
+            top, bot = x[-h2:], x[:h2]
+        return jnp.concatenate([top, x, bot], axis=0)
+
+    # ext rows cover global [row0 - 2H, row0 + band + 2H).  The worked
+    # region is the (band + 2H)-row window starting at
+    # g = clamp(row0 - H, 0, height - band - 2H): centered for interior
+    # devices, flush against the true image edge for edge devices (so the
+    # chain's own clamp lands exactly on the image border).
+    g = jnp.clip(row0 - ROW_HALO, 0, height - band - h2)
+    off = g - row0 + h2  # offset of the region inside ext
+
+    def region(x):
+        e = ext(x)
+        return jax.lax.dynamic_slice_in_dim(e, off, band + h2, axis=0)
+
+    den = denoise_chain_pallas(region(lighting), region(depth), region(normal))
+    return jax.lax.dynamic_slice_in_dim(den, row0 - g, band, axis=0)
+
+
+_RFT_STATICS = ("width", "height", "max_steps", "mesh", "tracer")
+# Lazy jit instances (compiler_options initializes the backend eagerly —
+# must not happen at import time; same pattern as render/pipeline.py).
+_rft_jit_cache: dict = {}
+
+
 def render_frame_tiled(
     world,
     blue_noise: jax.Array,
@@ -113,16 +171,59 @@ def render_frame_tiled(
 ) -> jax.Array:
     """Full frame over a 1-D device mesh; returns (H, W, 3) float32.
 
-    `world` is the fused u32 volume for tracer="volume" or the
-    build_hf_tables dict for tracer="hf"/"fused" (the Pallas hot paths;
-    tables are replicated — they are ~10 KB)."""
+    `world` is the fused u32 volume for tracer="volume", a
+    (fused_volume, build_vol_tables dict) pair for tracer="volume_fast"
+    (the brick-pyramid general-content path), or the build_hf_tables dict
+    for tracer="hf"/"fused" (the Pallas hot paths; all tables are
+    replicated — they are small against the 64 MB volume).
+
+    Raises XLA's scoped-vmem limit iff the per-device denoise region is big
+    enough to run the striped Pallas chain (same rule as render_frame)."""
+    from ..ops.denoise_pallas import scoped_vmem_options
+
+    n = mesh.shape[AXIS]
+    band = height // max(n, 1)
+    region_h = height if n == 1 else band + 2 * ROW_HALO
+    runs_pallas = n == 1 or band >= 2 * ROW_HALO
+    scoped = runs_pallas and scoped_vmem_options(region_h, width) is not None
+    if scoped not in _rft_jit_cache:
+        _rft_jit_cache[scoped] = jax.jit(
+            _render_frame_tiled_impl,
+            static_argnames=_RFT_STATICS,
+            compiler_options=(
+                {"xla_tpu_scoped_vmem_limit_kib": 49152} if scoped else None
+            ),
+        )
+    return _rft_jit_cache[scoped](
+        world, blue_noise, uniforms, width, height, mesh, max_steps, tracer
+    )
+
+
+def _render_frame_tiled_impl(
+    world,
+    blue_noise: jax.Array,
+    uniforms: dict,
+    width: int,
+    height: int,
+    mesh: Mesh,
+    max_steps: int = MAX_TRACE_STEPS,
+    tracer: str = "volume",
+) -> jax.Array:
     n = mesh.shape[AXIS]
     assert height % n == 0, (height, n)
     band = height // n
 
-    # The neighbor halo exchange sends 3*size rows per pass; bands narrower
-    # than the largest reach fall back to an all_gather of the G-buffers
-    # (only relevant for tiny test images — production bands are >= 48 rows).
+    # Denoiser plan, best first:
+    #  * bands wide enough for a single-hop 2*ROW_HALO exchange run the full
+    #    VMEM Pallas chain per device (production 4K/8 = 270-row bands),
+    #  * else bands wider than the largest per-pass reach run the banded XLA
+    #    stencil with six per-pass halo exchanges,
+    #  * else (tiny test images) all_gather the G-buffers.
+    pallas_ok = band >= 2 * ROW_HALO and n > 1
+    # A 1-device mesh's band IS the whole frame: no exchange, straight to
+    # the VMEM chain (this is the one-real-chip 4K path — the XLA stencil
+    # here cost config 5 roughly half its frame time in round 2).
+    pallas_whole = n == 1
     halo_ok = band >= 3 * max(DENOISE_SIZES)
 
     def shard_fn(vol, bn, uni):
@@ -142,12 +243,28 @@ def render_frame_tiled(
                 vol, bn, uni, width, height, max_steps,
                 row0=row0, rows=band,
             )
+        elif tracer == "volume_fast":
+            from ..ops.trace_vol_pallas import render_gbuffers_vol
+
+            fused_flat, vol_tables = vol
+            gb = render_gbuffers_vol(
+                fused_flat, vol_tables, bn, uni, width, height, max_steps,
+                row0=row0, rows=band,
+            )
         else:
             gb = render_gbuffers(
                 vol, bn, uni, width, height, max_steps, row0=row0, rows=band
             )
         lighting = gb["lighting"]
-        if halo_ok:
+        if pallas_whole:
+            from ..ops.denoise_pallas import denoise_chain_pallas
+
+            lighting = denoise_chain_pallas(lighting, gb["depth"], gb["normal"])
+        elif pallas_ok:
+            lighting = _denoise_band_pallas(
+                lighting, gb["depth"], gb["normal"], band, height, row0, AXIS
+            )
+        elif halo_ok:
             for size in DENOISE_SIZES:
                 lighting = _denoise_pass_banded(
                     lighting, gb["depth"], gb["normal"], size, AXIS

@@ -102,6 +102,70 @@ def test_tiled_frame_hf_tracer_matches_single_device():
 
 
 @pytest.mark.slow
+def test_tiled_frame_volume_fast_matches_single_device(world_volume):
+    """The brick-pyramid general-volume tracer under shard_map (band split)
+    must equal the same tracer run single-device — the tables tuple
+    replicates like the hf tables and the resolve is shard-local."""
+    from raytrace_tpu.ops.trace_vol_pallas import (
+        build_vol_tables,
+        render_gbuffers_vol,
+    )
+
+    mats, mf = world_volume
+    fused = fuse_volume(jnp.asarray(mats), jnp.asarray(mf))
+    tables = build_vol_tables(fused)
+    bn = jnp.asarray(get_blue_noise_f32())
+    uni = _uniforms()
+    W, H = 64, 64
+    steps = 256
+
+    gb = render_gbuffers_vol(fused, tables, bn, uni, W, H, steps)
+    denoised = denoise_chain(gb["lighting"], gb["depth"], gb["normal"])
+    want = np.asarray(
+        finalize_frame(gb["albedo"], gb["emission"], gb["fog"], denoised, gb["depth"], bn)
+    )
+
+    mesh = make_tile_mesh(jax.devices()[:8])
+    got = np.asarray(
+        render_frame_tiled(
+            (fused, tables), bn, uni, W, H, mesh, steps, tracer="volume_fast"
+        )
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_tiled_pallas_denoise_matches_single_device(world_volume):
+    """Bands >= 2*ROW_HALO rows take the per-device VMEM Pallas denoise
+    chain after ONE 256-row halo exchange; the result must equal the
+    single-device Pallas chain exactly (the halo exceeds the chain's
+    117-row influence radius — same argument as the column strips)."""
+    from raytrace_tpu.ops.denoise_pallas import denoise_chain_pallas
+    from raytrace_tpu.parallel import tiles
+
+    mats, mf = world_volume
+    fused = fuse_volume(jnp.asarray(mats), jnp.asarray(mf))
+    bn = jnp.asarray(get_blue_noise_f32())
+    uni = _uniforms()
+    W, H = 32, 1024  # 4 devices -> 256-row bands == 2*ROW_HALO exactly
+    steps = 64
+
+    gb = render_gbuffers(fused, bn, uni, W, H, steps)
+    denoised = denoise_chain_pallas(gb["lighting"], gb["depth"], gb["normal"])
+    want = np.asarray(
+        finalize_frame(gb["albedo"], gb["emission"], gb["fog"], denoised, gb["depth"], bn)
+    )
+
+    mesh = make_tile_mesh(jax.devices()[:4])
+    band = H // 4
+    assert band >= 2 * tiles.ROW_HALO  # the test must exercise the new path
+    got = np.asarray(render_frame_tiled(fused, bn, uni, W, H, mesh, steps))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_tiled_frame_fused_tracer_matches_single_device():
     """The fused whole-path kernel under shard_map (band split) must equal
     the same tracer run single-device — banded camera rays, banded
