@@ -25,8 +25,10 @@ Architecture (TPU-first, not a port):
     gathers crawl), then a vectorized single-voxel DDA marches the ray
     through the brick in registers (<= 22 crossings).  Rays that exit
     unhit resume the kernel; ``trace_rays_vol`` alternates kernel passes
-    and resolves for a fixed number of rounds with the same
-    unfinished-first compaction sort the heightfield cascade uses.
+    and resolves inside a lax.while_loop that exits as soon as no ray is
+    live.  Ray order is preserved throughout — no compaction sorts (the
+    heightfield cascade's sorts were measured a wash here: all-done tiles
+    exit the kernel loop at the first check anyway).
 
 Hit semantics (positions, face normals, the 1e-4 boundary epsilon, the
 0.001 hit nudge, out-of-bounds => sky, toroidal texel = (world + 128) mod
@@ -547,6 +549,79 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
     )
 
 
+def _resolve_maybe_compact(
+    detail, px, py, pz, dx, dy, dz, meta, lr, cap: int
+):
+    """resolve_mixed, but gathering only O(live) rows when few rays need it.
+
+    The full resolve's cost is bound by GATHERED-row count (~8 ns/row on
+    v5e regardless of row width, docs/DESIGN.md): it gathers one detail row
+    per ray every round while live counts collapse geometrically
+    (config 1 measured 152k -> 25k -> 472).  When at most ``cap`` rays are
+    parked or need a material code, this compacts them into a ``cap``-row
+    prefix first: one jnp.nonzero index build (cumsum + bincount — no
+    sort), ONE packed row gather of the 7-word ray state, the resolve on
+    cap-size arrays (its detail gather is now cap rows too), and a
+    drop-mode row scatter back.  Rounds with more than ``cap`` candidates
+    (in practice only round 1) take the full-batch path via lax.cond, so
+    the fallback is always exact.
+    """
+    n = px.shape[0]
+    need = ((meta & _PARKED) != 0) | (
+        ((meta & (_DONE | _AIR)) == _DONE) & (((meta >> 6) & 15) == 0)
+    )
+    cnt = jnp.sum(need.astype(jnp.int32))
+
+    def full(_):
+        fx, fy, fz, _n, fm = resolve_mixed(
+            detail, px, py, pz, dx, dy, dz, (meta >> 2) & 7, meta, lr
+        )
+        return fx, fy, fz, fm
+
+    def compact(_):
+        idx = jnp.nonzero(need, size=cap, fill_value=n)[0]
+        safe = jnp.minimum(idx, n - 1)
+        # One row gather for the whole per-ray state (row count is the
+        # cost; width is free).
+        state = jnp.stack(
+            [
+                px, py, pz, dx, dy, dz,
+                jax.lax.bitcast_convert_type(meta, jnp.float32),
+            ],
+            axis=1,
+        )
+        sub = state[safe]
+        spx, spy, spz = sub[:, 0], sub[:, 1], sub[:, 2]
+        sdx, sdy, sdz = sub[:, 3], sub[:, 4], sub[:, 5]
+        smeta = jax.lax.bitcast_convert_type(sub[:, 6], jnp.int32)
+        # Fill slots (idx == n) alias ray n-1; make them inert: done|air
+        # with a nonzero mcode so neither the march nor the code path runs.
+        smeta = jnp.where(
+            idx < n, smeta, jnp.int32(_DONE | _AIR | (1 << 6))
+        )
+        rx, ry, rz, _n, rm = resolve_mixed(
+            detail, spx, spy, spz, sdx, sdy, sdz, (smeta >> 2) & 7,
+            smeta, lr,
+        )
+        out = jnp.stack(
+            [rx, ry, rz, jax.lax.bitcast_convert_type(rm, jnp.float32)],
+            axis=1,
+        )
+        base = jnp.stack(
+            [px, py, pz, jax.lax.bitcast_convert_type(meta, jnp.float32)],
+            axis=1,
+        )
+        merged = base.at[idx].set(out, mode="drop")
+        return (
+            merged[:, 0],
+            merged[:, 1],
+            merged[:, 2],
+            jax.lax.bitcast_convert_type(merged[:, 3], jnp.int32),
+        )
+
+    return jax.lax.cond(cnt <= cap, compact, full, None)
+
+
 # ---------------------------------------------------------------------------
 # Host-side wrapper: kernel/resolve rounds with compaction
 # ---------------------------------------------------------------------------
@@ -554,7 +629,9 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_steps", "tile_rows", "interpret", "rounds", "cap"),
+    static_argnames=(
+        "max_steps", "tile_rows", "interpret", "rounds", "cap", "compact_cap"
+    ),
 )
 def trace_rays_vol(
     tables: dict,
@@ -565,9 +642,10 @@ def trace_rays_vol(
     max_steps: int = MAX_TRACE_STEPS,
     tile_rows: int = 16,
     interpret: bool | None = None,
-    rounds: int = 12,
+    rounds: int | None = None,
     cap: int = 96,
     active: jax.Array | None = None,
+    compact_cap: int | None = None,
 ) -> dict[str, jax.Array]:
     """General-volume trace; drop-in for trace_jax.trace_rays.
 
@@ -584,11 +662,21 @@ def trace_rays_vol(
     Ray order is preserved throughout — no compaction sorts; finished
     tiles exit the kernel at the first all-done check instead.
 
+    ``max_steps`` bounds the total march budget like the reference's
+    2048-step limit (raytrace.comp:109): when ``rounds`` is not given it is
+    derived as ceil(max_steps / cap), so the worst case is >= max_steps
+    brick-level steps (each brick step covers >=1 voxel, so the voxel-step
+    budget is at least as generous as the reference's).  Passing ``rounds``
+    explicitly overrides the derivation (tests use small values to force
+    the ``exhausted`` path).
+
     ``active`` marks rays to trace at all (born-done otherwise), matching
     trace_rays_hf's contract for skipped bounce legs.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if rounds is None:
+        rounds = max(1, -(-max_steps // cap))
 
     shape = origin.shape[:-1]
     n = 1
@@ -673,19 +761,35 @@ def trace_rays_vol(
         cz = jnp.where(fin, cz, pz)
         cmeta = jnp.where(fin, cmeta, meta_new)
 
-        # Resolve this round's mixed-brick parks (flat views).
-        fx, fy, fz, _, fmeta = resolve_mixed(
-            detail,
-            cx.reshape(n_pad),
-            cy.reshape(n_pad),
-            cz.reshape(n_pad),
-            cdx.reshape(n_pad),
-            cdy.reshape(n_pad),
-            cdz.reshape(n_pad),
-            (cmeta.reshape(n_pad) >> 2) & 7,
-            cmeta.reshape(n_pad),
-            lri,
-        )
+        # Resolve this round's mixed-brick parks (flat views).  With a
+        # compact_cap, late rounds (few live rays) gather O(live) detail
+        # rows instead of O(N) — see _resolve_maybe_compact.
+        if compact_cap is not None:
+            fx, fy, fz, fmeta = _resolve_maybe_compact(
+                detail,
+                cx.reshape(n_pad),
+                cy.reshape(n_pad),
+                cz.reshape(n_pad),
+                cdx.reshape(n_pad),
+                cdy.reshape(n_pad),
+                cdz.reshape(n_pad),
+                cmeta.reshape(n_pad),
+                lri,
+                compact_cap,
+            )
+        else:
+            fx, fy, fz, _, fmeta = resolve_mixed(
+                detail,
+                cx.reshape(n_pad),
+                cy.reshape(n_pad),
+                cz.reshape(n_pad),
+                cdx.reshape(n_pad),
+                cdy.reshape(n_pad),
+                cdz.reshape(n_pad),
+                (cmeta.reshape(n_pad) >> 2) & 7,
+                cmeta.reshape(n_pad),
+                lri,
+            )
         return dict(
             r=s["r"] + 1,
             x=fx.reshape(rows, LANES),
@@ -773,6 +877,7 @@ def trace_rays_vol(
     jax.jit,
     static_argnames=(
         "width", "height", "max_steps", "rows", "interpret", "bounces",
+        "compact_cap",
     ),
 )
 def render_gbuffers_vol(
@@ -787,12 +892,14 @@ def render_gbuffers_vol(
     rows: int | None = None,
     interpret: bool | None = None,
     bounces: int = 2,
+    compact_cap: int | None = None,
 ) -> dict[str, jax.Array]:
     """G-buffers via the fast general-volume tracer.
 
     Same lighting integration as the other tracers (trace_jax
     integrate_gbuffers) with trace_rays_vol plugged in; renders arbitrary
     volume content (preloaded/edited worlds) at brick-pyramid speed.
+    compact_cap forwards to trace_rays_vol (O(live) late-round resolves).
     """
     from .trace_jax import integrate_gbuffers
 
@@ -801,7 +908,7 @@ def render_gbuffers_vol(
     def trace(o, d, active=None):
         return trace_rays_vol(
             tables, fused_flat, o, d, lr_i, max_steps=max_steps,
-            interpret=interpret, active=active,
+            interpret=interpret, active=active, compact_cap=compact_cap,
         )
 
     return integrate_gbuffers(

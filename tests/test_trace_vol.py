@@ -116,6 +116,50 @@ def test_generated_world_matches(full_world_volume):
     )
 
 
+def test_compact_resolve_matches_full(weird_world):
+    """compact_cap (O(live) late-round resolves) must be output-identical
+    to the full-batch resolve — exercising BOTH lax.cond branches: a cap
+    below round-1's parked count forces the full path first, then late
+    rounds take the compact path; a huge cap takes compact every round."""
+    fused, tables = weird_world
+    o, d = _cam_rays((0.0, -80.0, 40.0), -0.4)  # 576 rays, most park round 1
+
+    base = {
+        k: np.asarray(v)
+        for k, v in trace_rays_vol(tables, fused, o, d, LR, interpret=True).items()
+    }
+    for cc in (64, 4096):
+        got = {
+            k: np.asarray(v)
+            for k, v in trace_rays_vol(
+                tables, fused, o, d, LR, interpret=True, compact_cap=cc
+            ).items()
+        }
+        for k in ("air", "normal", "exhausted"):
+            np.testing.assert_array_equal(got[k], base[k], err_msg=f"cap={cc} {k}")
+        for k in ("position", "albedo", "distance"):
+            # The compact variant compiles a different graph (cond + gather),
+            # so XLA may contract fma/sqrt differently — values agree to
+            # float32 ulps, not necessarily bit-for-bit.
+            np.testing.assert_allclose(
+                got[k], base[k], rtol=1e-6, atol=1e-5, err_msg=f"cap={cc} {k}"
+            )
+
+
+def test_compact_resolve_with_active_mask(weird_world):
+    """compact_cap composes with the active mask (skipped bounce legs)."""
+    fused, tables = weird_world
+    o = jnp.asarray([[0.5, -60.0, 20.0]] * 8, jnp.float32)
+    d = jnp.asarray([[0.0, 1.0, -0.3]] * 8, jnp.float32)
+    active = jnp.asarray([True, False] * 4)
+    ref = trace_rays_vol(tables, fused, o, d, LR, interpret=True, active=active)
+    got = trace_rays_vol(
+        tables, fused, o, d, LR, interpret=True, active=active, compact_cap=256
+    )
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(ref[k]), err_msg=k)
+
+
 def test_sky_and_bounds(weird_world):
     fused, tables = weird_world
     o = jnp.asarray([[0.5, 0.5, 110.0]] * 2, jnp.float32)
