@@ -7,10 +7,11 @@ process spawns; its .dat output path is vestigial, SURVEY §2 #32).
 TPU-native version: ONE process, one resident world volume, all
 configurations rendered back-to-back through the jitted frame program (the
 uniforms are traced arguments, so no recompilation between views), saved as
-PNGs + a manifest.  This is the working version of the capability the
-reference's script encodes (BASELINE config 4).
+raw .dat / PNG + a manifest.  This is the working version of the capability
+the reference's script encodes (BASELINE config 4).
 
-Usage: python -m raytrace_tpu.apps.capture [--out DIR] [--size WxH] [--limit N]
+Usage: python -m raytrace_tpu.apps.capture [--out DIR] [--size WxH]
+       [--limit N] [--format dat|png|png-fast]
 """
 
 from __future__ import annotations
@@ -49,8 +50,18 @@ def sweep_configs():
 
 
 def run(out_dir="capture", width=512, height=512, limit=None, max_steps=2048,
-        save=True, pipeline=None):
-    """pipeline: optional pre-built Pipeline (tests inject a cheap one)."""
+        save=True, pipeline=None, fmt="dat"):
+    """pipeline: optional pre-built Pipeline (tests inject a cheap one).
+
+    fmt: on-disk format.  "dat" (default) writes the raw u8 RGB frame bytes
+    — byte-for-byte the content a training loader wants and exact parity
+    with the reference sweep's .dat output (capture_training_data.py +
+    .gitignore:5); shape/dtype land in the manifest.  "png-fast" writes
+    PNGs at zlib level 1; "png" at the PIL default level 6.  On a
+    single-core host encoding dominates the sweep (zlib-6 measured ~3x the
+    render time at 512², and threads serialize on one core), so the format
+    IS the throughput knob.
+    """
     configs = list(sweep_configs())
     if limit:
         configs = configs[:limit]
@@ -91,14 +102,30 @@ def run(out_dir="capture", width=512, height=512, limit=None, max_steps=2048,
     pool = ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 4))
     futures = []
 
+    if fmt == "dat":
+        def write(path, arr):
+            arr.tofile(path)
+    elif fmt in ("png", "png-fast"):
+        from ..testing.golden import save_png
+
+        level = 1 if fmt == "png-fast" else 6
+
+        def write(path, arr):
+            save_png(path, arr, compress_level=level)
+    else:
+        raise ValueError(f"unknown capture format {fmt!r}")
+    ext = "dat" if fmt == "dat" else "png"
+
     def sink(i, cfg, frame_u8):
         arr = np.asarray(frame_u8)  # device -> host sync
         if save:
-            from ..testing.golden import save_png
-
-            name = f"view_{i:05d}.png"
-            futures.append(pool.submit(save_png, out / name, arr))
-            manifest.append({**cfg, "file": name})
+            name = f"view_{i:05d}.{ext}"
+            futures.append(pool.submit(write, out / name, arr))
+            entry = {**cfg, "file": name}
+            if fmt == "dat":
+                entry["shape"] = list(arr.shape)
+                entry["dtype"] = str(arr.dtype)
+            manifest.append(entry)
         tracker.advance()
         print(f"\r{tracker.status()}   ", end="", flush=True)
 
@@ -141,9 +168,14 @@ def main():
     ap.add_argument("--out", default="capture")
     ap.add_argument("--size", default="512x512")
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument(
+        "--format", default="dat", choices=("dat", "png", "png-fast"),
+        help="dat = raw u8 RGB (reference-sweep parity, cheapest); "
+        "png-fast = zlib level 1; png = level 6",
+    )
     ns = ap.parse_args()
     w, h = map(int, ns.size.split("x"))
-    n, dt = run(ns.out, w, h, ns.limit)
+    n, dt = run(ns.out, w, h, ns.limit, fmt=ns.format)
     print(f"{n} views in {dt:.1f}s ({n / dt:.2f} views/s)")
 
 

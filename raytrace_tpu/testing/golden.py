@@ -40,11 +40,16 @@ def compare_images(
     }
 
 
-def save_png(path, image: np.ndarray) -> None:
-    """Save a float [0,1] (or already-uint8) (H, W, 3) image as PNG."""
+def save_png(path, image: np.ndarray, compress_level: int = 6) -> None:
+    """Save a float [0,1] (or already-uint8) (H, W, 3) image as PNG.
+
+    compress_level: zlib level (PIL default 6).  Level 1 is ~4x cheaper to
+    encode for ~15% bigger files — the right trade on a single-core host
+    where encoding, not rendering, bounds dataset-capture throughput.
+    """
     from PIL import Image
 
     arr = np.asarray(image)
     if arr.dtype != np.uint8:
         arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
-    Image.fromarray(arr).save(path)
+    Image.fromarray(arr).save(path, compress_level=compress_level)

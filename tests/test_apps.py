@@ -24,7 +24,7 @@ def cheap_pipeline(full_world_volume):
 def test_capture_run_writes_pngs_and_manifest(cheap_pipeline, tmp_path):
     from raytrace_tpu.apps.capture import run
 
-    n, dt = run(out_dir=tmp_path, limit=2, pipeline=cheap_pipeline)
+    n, dt = run(out_dir=tmp_path, limit=2, pipeline=cheap_pipeline, fmt="png")
     files = sorted(p.name for p in tmp_path.iterdir())
     assert "manifest.json" in files
     assert "view_00000.png" in files and "view_00001.png" in files
@@ -32,6 +32,20 @@ def test_capture_run_writes_pngs_and_manifest(cheap_pipeline, tmp_path):
     assert len(manifest) == 2
     assert manifest[0]["file"] == "view_00000.png"
     assert "sun_angle" in manifest[0]
+
+
+@pytest.mark.slow
+def test_capture_run_dat_format(cheap_pipeline, tmp_path):
+    """Default format: raw u8 RGB bytes + shape/dtype in the manifest
+    (reference-sweep .dat parity) — the cheapest on-disk encoding."""
+    from raytrace_tpu.apps.capture import run
+
+    n, dt = run(out_dir=tmp_path, limit=2, pipeline=cheap_pipeline)
+    manifest = json.loads((tmp_path / "manifest.json").read_text())
+    assert manifest[0]["file"] == "view_00000.dat"
+    assert manifest[0]["shape"] == [48, 48, 3]
+    raw = np.fromfile(tmp_path / "view_00000.dat", np.uint8)
+    assert raw.size == 48 * 48 * 3
 
 
 def test_flythrough_run_scripted(cheap_pipeline, monkeypatch):
