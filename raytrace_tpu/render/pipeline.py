@@ -70,6 +70,7 @@ def render_frame(
     with_gbuffers: bool = False,
     tracer: str = "volume",
     seed: int = 0,
+    bounces: int = 2,
 ):
     """Dispatch to the jitted frame program, raising XLA's scoped-vmem
     limit only for frames big enough to run the striped denoise chain
@@ -84,7 +85,7 @@ def render_frame(
     )
     return impl(
         world, blue_noise, uniforms, width, height, max_steps,
-        with_gbuffers, tracer, seed,
+        with_gbuffers, tracer, seed, bounces,
     )
 
 
@@ -98,6 +99,7 @@ def _render_frame_impl(
     with_gbuffers: bool,
     tracer: str,
     seed: int,
+    bounces: int = 2,
 ):
     """Trace + denoise + finalize as one fused device program.
 
@@ -115,6 +117,7 @@ def _render_frame_impl(
         gb = render_gbuffers_fused(
             world, blue_noise, uniforms, width, height, max_steps, seed,
             unified=bool(int(os.environ.get("RAYTRACE_TPU_UNIFIED", "1"))),
+            bounces=bounces,
         )
     elif tracer == "volume_fast":
         from ..ops.trace_vol_pallas import render_gbuffers_vol
@@ -122,16 +125,20 @@ def _render_frame_impl(
         fused_flat, vol_tables = world
         gb = render_gbuffers_vol(
             fused_flat, vol_tables, blue_noise, uniforms, width, height,
-            max_steps,
+            max_steps, bounces=bounces,
         )
     elif tracer == "hf":
         from ..ops.trace_pallas import render_gbuffers_hf
 
         gb = render_gbuffers_hf(
-            world, blue_noise, uniforms, width, height, max_steps, seed
+            world, blue_noise, uniforms, width, height, max_steps, seed,
+            bounces=bounces,
         )
     else:
-        gb = render_gbuffers(world, blue_noise, uniforms, width, height, max_steps)
+        gb = render_gbuffers(
+            world, blue_noise, uniforms, width, height, max_steps,
+            bounces=bounces,
+        )
     from ..ops.denoise_pallas import denoise_finalize_pallas
 
     # VMEM-resident Pallas denoiser with finalize fused into the last pass
@@ -142,7 +149,10 @@ def _render_frame_impl(
     return frame
 
 
-_RF_STATICS = ("width", "height", "max_steps", "with_gbuffers", "tracer", "seed")
+_RF_STATICS = (
+    "width", "height", "max_steps", "with_gbuffers", "tracer", "seed",
+    "bounces",
+)
 _SCOPED_VMEM = {"xla_tpu_scoped_vmem_limit_kib": 49152}
 # jit instances are created lazily: jax.jit with compiler_options
 # initializes the backend eagerly, which must not happen at import time
@@ -175,13 +185,14 @@ def _render_frame_fused_packed(
     height: int,
     max_steps: int,
     seed: int,
+    bounces: int = 2,
 ):
     from ..ops.denoise_pallas import scoped_vmem_options
 
     impl = (
         _rffp_scoped if scoped_vmem_options(height, width) else _rffp_default
     )
-    return impl(blue_noise, packed, width, height, max_steps, seed)
+    return impl(blue_noise, packed, width, height, max_steps, seed, bounces)
 
 
 def _rffp_impl(
@@ -191,6 +202,7 @@ def _rffp_impl(
     height: int,
     max_steps: int,
     seed: int,
+    bounces: int = 2,
 ):
     """The interactive fast path: ONE host->device transfer per frame.
 
@@ -219,13 +231,14 @@ def _rffp_impl(
     gb = render_gbuffers_fused(
         tables, blue_noise, uniforms, width, height, max_steps, seed,
         unified=bool(int(os.environ.get("RAYTRACE_TPU_UNIFIED", "1"))),
+        bounces=bounces,
     )
     from ..ops.denoise_pallas import denoise_finalize_pallas
 
     return denoise_finalize_pallas(gb, blue_noise)
 
 
-_RFFP_STATICS = ("width", "height", "max_steps", "seed")
+_RFFP_STATICS = ("width", "height", "max_steps", "seed", "bounces")
 
 
 def _rffp_default(*a):
@@ -250,6 +263,7 @@ class Pipeline:
         tracer: str | None = None,
         preloaded_volume=None,
         validate: bool | None = None,
+        bounces: int = 2,
     ):
         """tracer: "hf" (Pallas heightfield kernel, the fast path for
         generated worlds), "fused" (single-launch whole-path kernel),
@@ -266,7 +280,10 @@ class Pipeline:
         analog of the reference's debug-build-only Vulkan validation layers
         (constants.rs:11, debug.rs) and REPORT_ERROR pink pixels
         (raytrace.comp:5-7).  Forces a sync per frame — debug builds only.
-        Defaults to the RAYTRACE_TPU_VALIDATE env var."""
+        Defaults to the RAYTRACE_TPU_VALIDATE env var.
+        bounces: light-path depth, 0-2 (reference ships 2,
+        raytrace.comp:320-350).  bounces=1 is the interactive preset — 3
+        rays/pixel instead of 5; the denoiser is the visual floor anyway."""
         if tracer is None:
             tracer = "volume_fast" if preloaded_volume is not None else "fused"
         assert tracer in ("hf", "fused", "volume", "volume_fast")
@@ -278,6 +295,7 @@ class Pipeline:
         self.max_steps = max_steps
         self.seed = seed
         self.tracer = tracer
+        self.bounces = bounces
         self.uniforms = FrameUniforms()
         self.streamer = TerrainStreamer(seed=seed, source=source, storage=storage)
         self.streamer.initialize(volume=preloaded_volume)
@@ -330,6 +348,7 @@ class Pipeline:
             frame = _render_frame_fused_packed(
                 self.blue_noise, jnp.asarray(packed),
                 self.width, self.height, self.max_steps, self.seed,
+                self.bounces,
             )
             u.old_origin = u.origin
             u.old_transform = _invert3(tuple(zip(*(right, up, forward))))
@@ -383,6 +402,7 @@ class Pipeline:
                 with_gbuffers=True,
                 tracer=self.tracer,
                 seed=self.seed,
+                bounces=self.bounces,
             )
             self._validate_frame(frame, gb)
         else:
@@ -395,6 +415,7 @@ class Pipeline:
                 self.max_steps,
                 tracer=self.tracer,
                 seed=self.seed,
+                bounces=self.bounces,
             )
 
         # Post-submit reprojection bookkeeping (pipeline.rs:214-227).
