@@ -108,7 +108,11 @@ def run(
     finally:
         if term is not None:
             term.restore()
-    # Sync the last frame so timing is honest.
+    # Sync the last frame so timing is honest.  Interactive ESC before the
+    # first frame renders leaves no frame at all — return None explicitly
+    # rather than np.asarray(None)'s 0-d object array.
+    if frame is None:
+        return None, perf.average(), perf.max()
     frame = np.asarray(frame)
     if not quiet:
         print()

@@ -36,10 +36,16 @@ from .denoise import _CENTER_WEIGHT, _MAX_REACH, _TAPS
 PAD = _MAX_REACH * max(DENOISE_SIZES)
 BAND = 32  # rows per grid step (amortizes the halo window copy ~4x)
 
-# VMEM budget guard: beyond this the resident padded planes + band windows
-# overflow VMEM (1080p measured: Mosaic compile failure) — larger frames run
+# VMEM budget guard, in PADDED-plane pixels (the planes actually resident
+# are (ceil(h/BAND)*BAND + 2*PAD) x (width + 2*PAD)).  Beyond this the
+# resident padded planes + band windows overflow VMEM — larger frames run
 # the SAME chain over vertical column strips (see _strip_plan).
-MAX_VMEM_PIXELS = 1_400_000
+# Calibration points (TPU v5e): 1024^2 unstriped = 1.25M padded px compiles
+# and is the hot path; 1080p strips of 1024 center columns = 1.63M padded
+# px compile and measured 78.7 ms/frame; 1080p unstriped = 2.39M padded px
+# fails to compile.  1.7M keeps both known-good shapes on their measured
+# plans while bounding the true footprint, not the unpadded one.
+MAX_VMEM_PIXELS = 1_700_000
 
 # Column-strip halo: the 6-pass chain's total influence radius is
 # sum(3 * size) = 117 px, so 128 real halo columns per side make a strip's
@@ -74,11 +80,16 @@ def scoped_vmem_options(h0: int, w: int) -> dict | None:
 
 def _strip_plan(h0: int, w: int):
     """Column strips (center_start, center_end) so every strip's worked
-    width (center + real halos) stays inside the VMEM pixel budget.
+    PADDED plane (center + real halos + 2*PAD pass padding, height rounded
+    up to BAND plus 2*PAD) stays inside the VMEM pixel budget.
     Returns None when no striping is needed."""
-    if h0 * w <= MAX_VMEM_PIXELS:
+    hp = -(-h0 // BAND) * BAND + 2 * PAD  # padded plane height, all passes
+    if hp * (w + 2 * PAD) <= MAX_VMEM_PIXELS:
         return None
-    sw = (MAX_VMEM_PIXELS // max(h0, 1) - 2 * STRIP_HALO) // 128 * 128
+    sw = (
+        (MAX_VMEM_PIXELS // max(hp, 1) - 2 * STRIP_HALO - 2 * PAD)
+        // 128 * 128
+    )
     if sw <= 0:
         return "xla"  # pathologically tall frame: XLA fallback
     n = -(-w // sw)

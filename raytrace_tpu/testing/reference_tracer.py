@@ -106,6 +106,10 @@ def trace_rays_np(
         use_y = ~(lx < ly) & (ly < lz)
         axis = np.where(use_x, 0, np.where(use_y, 1, 2))
         lmin = np.where(use_x, lx, np.where(use_y, ly, lz)).astype(np.float32)
+        # Done lanes carry whatever stale boundary distances they ended on
+        # (possibly inf from a zero direction component); step them 0 so the
+        # multiply below never computes inf * 0 = NaN.
+        lmin = np.where(active & np.isfinite(lmin), lmin, np.float32(0.0))
 
         step_vec = dirn * lmin[..., None]
         pos = np.where(active[..., None], pos + step_vec, pos)
@@ -209,6 +213,11 @@ def render_gbuffers_np(
         space = np.float32(-origin[1] - _HALF)
         with np.errstate(divide="ignore"):
             t = space / ray_dir[..., 1] + np.float32(1e-4)
+        # Rays exactly parallel to the boundary (dir.y == 0) get t = inf and
+        # can never enter the volume; advance them 0 instead of computing
+        # inf * 0 = NaN — they still resolve as out-of-bounds sky, exactly
+        # like the reference's divergent lanes.
+        t = np.where(np.isfinite(t), t, np.float32(0.0))
         ray_start = ray_start + t[..., None] * ray_dir
 
     sun = shading.sun_direction(xp, np.float32(sun_angle))

@@ -157,8 +157,13 @@ def test_striped_chain_matches_unstriped(monkeypatch):
     lighting, depth, normal = _fake_gbuffers(h, w, seed=3)
     args = (jnp.asarray(lighting), jnp.asarray(depth), jnp.asarray(normal))
     want = np.asarray(dnp.denoise_chain_pallas(*args, interpret=True))
-    # Budget forces sw = 128-col strips.
-    monkeypatch.setattr(dnp, "MAX_VMEM_PIXELS", h * (128 + 2 * dnp.STRIP_HALO))
+    # Budget forces sw = 128-col strips (the budget is in PADDED-plane
+    # pixels: height rounded to BAND plus 2*PAD, width plus halos and PAD).
+    monkeypatch.setattr(
+        dnp,
+        "MAX_VMEM_PIXELS",
+        (h + 2 * dnp.PAD) * (128 + 2 * dnp.STRIP_HALO + 2 * dnp.PAD),
+    )
     assert dnp._strip_plan(h, w) == [(0, 128), (128, 256), (256, 384), (384, 512)]
     # __wrapped__ bypasses the jit cache, which would otherwise replay the
     # unstriped trace recorded for this shape before the monkeypatch.
@@ -184,7 +189,11 @@ def test_striped_finalize_matches_unstriped(monkeypatch):
     }
     bn = jnp.asarray(get_blue_noise_f32())
     want = np.asarray(dnp.denoise_finalize_pallas.__wrapped__(gb, bn, interpret=True))
-    monkeypatch.setattr(dnp, "MAX_VMEM_PIXELS", h * (128 + 2 * dnp.STRIP_HALO))
+    monkeypatch.setattr(
+        dnp,
+        "MAX_VMEM_PIXELS",
+        (h + 2 * dnp.PAD) * (128 + 2 * dnp.STRIP_HALO + 2 * dnp.PAD),
+    )
     assert len(dnp._strip_plan(h, w)) == 4  # the patched budget really strips
     got = np.asarray(dnp.denoise_finalize_pallas.__wrapped__(gb, bn, interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-6)
@@ -207,4 +216,8 @@ def test_scoped_vmem_options_boundaries():
     assert opts and "xla_tpu_scoped_vmem_limit_kib" in opts
     # 4K single-device band also strips.
     assert scoped_vmem_options(2160, 3840)
-    assert 1080 * 1920 > MAX_VMEM_PIXELS
+    # The budget is in padded-plane pixels; 1080p's padded plane exceeds it.
+    from raytrace_tpu.ops.denoise_pallas import BAND, PAD
+
+    hp = -(-1080 // BAND) * BAND + 2 * PAD
+    assert hp * (1920 + 2 * PAD) > MAX_VMEM_PIXELS
