@@ -83,6 +83,7 @@ def run(
     max_steps: int = 2048,
     quiet: bool = False,
     interactive: bool = False,
+    bounces: int = 2,
 ):
     """Run the frame loop; returns (last_frame, avg_ms, max_ms).
 
@@ -92,7 +93,9 @@ def run(
     """
     game = Game(args)
     t0 = time.monotonic()
-    pipeline = Pipeline(width=width, height=height, max_steps=max_steps)
+    pipeline = Pipeline(
+        width=width, height=height, max_steps=max_steps, bounces=bounces
+    )
     if not quiet:
         print(f"Created renderer (and world) in {time.monotonic() - t0:.2f}s.")
 
@@ -166,6 +169,10 @@ def main():
     ap.add_argument("--out", default="frames")
     ap.add_argument("--max-steps", type=int, default=2048)
     ap.add_argument(
+        "--bounces", type=int, default=2, choices=(0, 1, 2),
+        help="light-path depth; 1 = interactive preset (3 rays/px)",
+    )
+    ap.add_argument(
         "--interactive", action="store_true",
         help="live w/a/s/d/q/e movement + r/f sun from the terminal "
         "(ESC quits); replaces the default scripted flight",
@@ -189,6 +196,7 @@ def main():
         script=script,
         max_steps=ns.max_steps,
         interactive=ns.interactive,
+        bounces=ns.bounces,
     )
 
 

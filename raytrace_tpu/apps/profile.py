@@ -45,7 +45,10 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default="/tmp/raytrace_tpu_trace")
     ap.add_argument("--frames", type=int, default=5)
-    ap.add_argument("--tracer", default="fused", choices=["fused", "hf", "volume"])
+    ap.add_argument(
+        "--tracer", default="fused",
+        choices=["fused", "hf", "volume", "volume_fast"],
+    )
     ns = ap.parse_args()
     run(ns.out, ns.frames, tracer=ns.tracer)
 
