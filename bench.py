@@ -51,9 +51,14 @@ def _probe_backend_once():
     """True iff a fresh process can see a usable accelerator within the
     timeout.  A hung probe (dead tunnel relay) is killed and counts as
     unreachable."""
+    # Require a NON-CPU device: when the relay errors fast (instead of
+    # hanging) jax can fall back to local CPU with a warning, and a bench
+    # "run" on one CPU core is exactly the hours-long hang / garbage-number
+    # outcome this probe exists to prevent.
     code = (
-        "import jax; ds = jax.devices(); "
-        "import sys; sys.exit(0 if ds else 1)"
+        "import jax, sys; "
+        "sys.exit(0 if any(d.platform != 'cpu' for d in jax.devices()) "
+        "else 1)"
     )
     try:
         r = subprocess.run(

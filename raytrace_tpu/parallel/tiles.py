@@ -122,7 +122,6 @@ def _denoise_band_pallas(lighting, depth, normal, band, height, row0, axis_name)
     from ..ops.denoise_pallas import denoise_chain_pallas
 
     n = jax.lax.axis_size(axis_name)
-    i = jax.lax.axis_index(axis_name)
     h2 = 2 * ROW_HALO
 
     def ext(x):
@@ -185,14 +184,15 @@ def render_frame_tiled(
     band = height // max(n, 1)
     region_h = height if n == 1 else band + 2 * ROW_HALO
     runs_pallas = n == 1 or band >= 2 * ROW_HALO
-    scoped = runs_pallas and scoped_vmem_options(region_h, width) is not None
+    # Take the options dict straight from the denoiser (single source for
+    # the scoped-vmem limit); key the jit cache on its presence.
+    opts = scoped_vmem_options(region_h, width) if runs_pallas else None
+    scoped = opts is not None
     if scoped not in _rft_jit_cache:
         _rft_jit_cache[scoped] = jax.jit(
             _render_frame_tiled_impl,
             static_argnames=_RFT_STATICS,
-            compiler_options=(
-                {"xla_tpu_scoped_vmem_limit_kib": 49152} if scoped else None
-            ),
+            compiler_options=opts,
         )
     return _rft_jit_cache[scoped](
         world, blue_noise, uniforms, width, height, mesh, max_steps, tracer
