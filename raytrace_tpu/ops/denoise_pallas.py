@@ -58,6 +58,11 @@ MAX_VMEM_PIXELS = 1_700_000
 STRIP_HALO = 128
 assert STRIP_HALO > 3 * sum(DENOISE_SIZES)
 
+# The raised scoped-VMEM stack budget for programs that run the striped
+# chain (see scoped_vmem_options).  Single source of truth — the pipeline
+# and the tiled path import it rather than re-stating the number.
+SCOPED_VMEM_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": 49152}
+
 
 def scoped_vmem_options(h0: int, w: int) -> dict | None:
     """compiler_options for a jit whose program runs the striped chain.
@@ -75,7 +80,7 @@ def scoped_vmem_options(h0: int, w: int) -> dict | None:
     plan = _strip_plan(h0, w)
     if plan is None or plan == "xla":
         return None
-    return {"xla_tpu_scoped_vmem_limit_kib": 49152}
+    return SCOPED_VMEM_OPTIONS
 
 
 def _strip_plan(h0: int, w: int):

@@ -153,7 +153,7 @@ _RF_STATICS = (
     "width", "height", "max_steps", "with_gbuffers", "tracer", "seed",
     "bounces",
 )
-_SCOPED_VMEM = {"xla_tpu_scoped_vmem_limit_kib": 49152}
+from ..ops.denoise_pallas import SCOPED_VMEM_OPTIONS as _SCOPED_VMEM
 # jit instances are created lazily: jax.jit with compiler_options
 # initializes the backend eagerly, which must not happen at import time
 # (the axon tunnel may not be up yet).
