@@ -183,6 +183,42 @@ def test_volume_fast_pipeline_matches_direct_program(full_world_volume):
     np.testing.assert_array_equal(f_pipe, f_direct)
 
 
+def test_bounces_preset_threads_through_pipeline(full_world_volume):
+    """Pipeline(bounces=1) — the interactive preset — must reach the frame
+    program (not silently render the default 2-bounce path) and match the
+    direct render_frame call at the same bounce count."""
+    from raytrace_tpu.ops.trace_vol_pallas import build_vol_tables
+    from raytrace_tpu.render.camera import Camera
+    from raytrace_tpu.render.pipeline import render_frame
+
+    mats, mf = full_world_volume
+    fused = fuse_volume(jnp.asarray(mats), jnp.asarray(mf))
+    cam = Camera(origin=[-30.0, -100.0, 60.0])
+    cam.pitch = -0.3
+    p1 = Pipeline(
+        width=48, height=48, max_steps=512, tracer="volume_fast",
+        preloaded_volume=fused, bounces=1,
+    )
+    f1 = np.asarray(p1.draw_frame(cam, 0.6))
+    tables = build_vol_tables(p1.streamer.volume)
+    f_direct = np.asarray(
+        render_frame(
+            (p1.streamer.volume, tables), p1.blue_noise,
+            p1.uniforms.as_device_dict(), 48, 48, 512,
+            tracer="volume_fast", bounces=1,
+        )
+    )
+    np.testing.assert_array_equal(f1, f_direct)
+
+    p2 = Pipeline(
+        width=48, height=48, max_steps=512, tracer="volume_fast",
+        preloaded_volume=fused, bounces=2,
+    )
+    f2 = np.asarray(p2.draw_frame(cam, 0.6))
+    # Identical frames would mean the preset never reached the kernel.
+    assert not np.array_equal(f1, f2)
+
+
 @pytest.mark.slow
 def test_volume_fast_streaming_updates_tables_incrementally(full_world_volume):
     """Streamed slab writes must leave the pipeline's incrementally-updated
