@@ -549,28 +549,48 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
     )
 
 
+def _compact_segments(n: int, cap: int) -> int:
+    """Segment length R for the segmented compact resolve: the largest
+    power of two <= min(16, n // cap) that divides n.  Bounded at 16 so the
+    R-way select chains stay small in the HLO; a power of two always
+    divides n (ray counts are padded to tile multiples)."""
+    r = 1
+    while r < 16 and r * 2 <= max(1, n // cap) and n % (r * 2) == 0:
+        r *= 2
+    return r
+
+
 def _resolve_maybe_compact(
     detail, px, py, pz, dx, dy, dz, meta, lr, cap: int
 ):
-    """resolve_mixed, but gathering only O(live) rows when few rays need it.
+    """resolve_mixed, but gathering only O(live) detail rows when few rays
+    need it.
 
     The full resolve's cost is bound by GATHERED-row count (~8 ns/row on
     v5e regardless of row width, docs/DESIGN.md): it gathers one detail row
     per ray every round while live counts collapse geometrically
     (config 1 measured 152k -> 25k -> 472).  When at most ``cap`` rays are
-    parked or need a material code, this compacts them into a ``cap``-row
-    prefix first: one jnp.nonzero index build (cumsum + bincount — no
-    sort), ONE packed row gather of the 7-word ray state, the resolve on
-    cap-size arrays (its detail gather is now cap rows too), and a
-    drop-mode row scatter back.  Rounds with more than ``cap`` candidates
-    (in practice only round 1) take the full-batch path via lax.cond, so
-    the fallback is always exact.
+    parked or need a material code, an R-way SEGMENTED selection resolves a
+    subset: slot j considers rays {j, j+S, j+2S, ...} (stride-S spreads the
+    spatially clustered parks across slots) and takes the first candidate.
+    Selection and merge-back are pure R-way vector selects — no index
+    build, no sort, no scatter, no input gather; the only gather is the
+    resolve's own S-row detail gather (S = n/R).  Slot collisions simply
+    stay parked and drain in later rounds — the round loop keeps running
+    while any ray is live or (palette-exact volumes) any hit still awaits
+    its material code, and a kernel pass over parked rays re-parks them in
+    one step, so extra rounds are cheap.  Rounds with more than ``cap``
+    candidates (in practice only round 1) take the full-batch path via
+    lax.cond.
     """
     n = px.shape[0]
     need = ((meta & _PARKED) != 0) | (
         ((meta & (_DONE | _AIR)) == _DONE) & (((meta >> 6) & 15) == 0)
     )
     cnt = jnp.sum(need.astype(jnp.int32))
+    R = _compact_segments(n, cap)
+    S = n // R
+    inert = jnp.int32(_DONE | _AIR | (1 << 6))
 
     def full(_):
         fx, fy, fz, _n, fm = resolve_mixed(
@@ -579,46 +599,42 @@ def _resolve_maybe_compact(
         return fx, fy, fz, fm
 
     def compact(_):
-        idx = jnp.nonzero(need, size=cap, fill_value=n)[0]
-        safe = jnp.minimum(idx, n - 1)
-        # One row gather for the whole per-ray state (row count is the
-        # cost; width is free).
-        state = jnp.stack(
-            [
-                px, py, pz, dx, dy, dz,
-                jax.lax.bitcast_convert_type(meta, jnp.float32),
-            ],
-            axis=1,
-        )
-        sub = state[safe]
-        spx, spy, spz = sub[:, 0], sub[:, 1], sub[:, 2]
-        sdx, sdy, sdz = sub[:, 3], sub[:, 4], sub[:, 5]
-        smeta = jax.lax.bitcast_convert_type(sub[:, 6], jnp.int32)
-        # Fill slots (idx == n) alias ray n-1; make them inert: done|air
-        # with a nonzero mcode so neither the march nor the code path runs.
-        smeta = jnp.where(
-            idx < n, smeta, jnp.int32(_DONE | _AIR | (1 << 6))
-        )
-        rx, ry, rz, _n, rm = resolve_mixed(
+        views = [a.reshape(R, S) for a in (px, py, pz, dx, dy, dz)]
+        mview = meta.reshape(R, S)
+        nview = need.reshape(R, S)
+        sel = jnp.argmax(nview, axis=0)  # first candidate per slot
+        got = jnp.any(nview, axis=0)
+
+        def pick(v):
+            out = v[0]
+            for k in range(1, R):
+                out = jnp.where(sel == k, v[k], out)
+            return out
+
+        spx, spy, spz = pick(views[0]), pick(views[1]), pick(views[2])
+        sdx, sdy, sdz = pick(views[3]), pick(views[4]), pick(views[5])
+        smeta = jnp.where(got, pick(mview), inert)
+        rx, ry, rz, _n2, rm = resolve_mixed(
             detail, spx, spy, spz, sdx, sdy, sdz, (smeta >> 2) & 7,
             smeta, lr,
         )
-        out = jnp.stack(
-            [rx, ry, rz, jax.lax.bitcast_convert_type(rm, jnp.float32)],
-            axis=1,
-        )
-        base = jnp.stack(
-            [px, py, pz, jax.lax.bitcast_convert_type(meta, jnp.float32)],
-            axis=1,
-        )
-        merged = base.at[idx].set(out, mode="drop")
+
+        def put(v, r):
+            rows = [
+                jnp.where(got & (sel == k), r, v[k]) for k in range(R)
+            ]
+            return jnp.stack(rows, 0).reshape(n)
+
         return (
-            merged[:, 0],
-            merged[:, 1],
-            merged[:, 2],
-            jax.lax.bitcast_convert_type(merged[:, 3], jnp.int32),
+            put(views[0], rx),
+            put(views[1], ry),
+            put(views[2], rz),
+            put(mview, rm),
         )
 
+    if R == 1:
+        # One segment = the full batch; skip the cond entirely.
+        return full(None)
     return jax.lax.cond(cnt <= cap, compact, full, None)
 
 
@@ -739,7 +755,20 @@ def trace_rays_vol(
     detail = tables["detail"]
 
     def round_cond(s):
-        return (s["r"] < rounds) & jnp.any((s["meta"] & 1) == 0)
+        live = jnp.any((s["meta"] & 1) == 0)
+        if compact_cap is not None:
+            # Segmented compaction can leave a kernel-direct hit waiting a
+            # round for its material code (slot collision).  Keep looping
+            # until codes drain — but only on palette-exact volumes, where
+            # a resolved hit's code is guaranteed nonzero (slot 0 is air);
+            # richer content takes the element-gather fallback anyway and
+            # must not spin the loop.
+            pending_code = tables["pal_ok"] & jnp.any(
+                ((s["meta"] & (_DONE | _AIR)) == _DONE)
+                & (((s["meta"] >> 6) & 15) == 0)
+            )
+            live = live | pending_code
+        return (s["r"] < rounds) & live
 
     def round_body(s):
         cx, cy, cz, cmeta = s["x"], s["y"], s["z"], s["meta"]
