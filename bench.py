@@ -32,8 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_MRAYS = 100.0
 WIDTH = HEIGHT = 1024
 RAYS_PER_PIXEL = 5
-# Warmup covers jit compilation AND terrain-streaming convergence (the
-# static bench camera needs ~4 slice moves before the region settles).
+# Upper bound on streamer slice-move drains before the bench region is
+# declared converged (the static bench camera needs ~4; the loop breaks as
+# soon as no request is pending).
 WARMUP = 6
 FRAMES = 20  # per timed train (amortizes the one ~35 ms final readback)
 
@@ -143,10 +144,27 @@ def _run():
         # (block_until_ready alone under-reports on the axon platform).
         return float(jnp.sum(frame))
 
-    # Streaming convergence + per-frame-path compile.
-    for _ in range(WARMUP):
-        sync(pipeline.draw_frame(cam, 0.6))
-    uniforms = pipeline.uniforms.as_device_dict()
+    # Streaming convergence WITHOUT rendering: the static bench camera
+    # needs ~4 slice moves before the region settles, and draw_frame would
+    # compile the interactive fast path — a second multi-minute compile
+    # through the remote helper that the measured program never uses.
+    # Driving the streamer directly converges the same state (draw_frame
+    # issues exactly one request_move_towards per frame) while the only
+    # compile on the critical path stays frame_at below.
+    target = (cam.origin[0], 0, cam.origin[2])
+    for _ in range(4 * WARMUP):
+        pipeline.streamer.request_move_towards(target)
+        if not pipeline.streamer.setup_next_request():
+            break
+
+    # Fill the uniforms the way draw_frame would for this camera.
+    forward, up, right = cam.scaled_basis()
+    u = pipeline.uniforms
+    u.origin = tuple(cam.origin)
+    u.forward, u.up, u.right = forward, up, right
+    u.sun_angle = 0.6
+    u.lr = pipeline.streamer.get_render_offset()
+    uniforms = u.as_device_dict()
     if tracer in ("hf", "fused"):
         # Build the heightfield tables for the converged region directly
         # (the pipeline's interactive fast path folds the table build into
