@@ -23,6 +23,10 @@ for cc in 16384 32768; do
     | tee probes/out/r3_cfg1_cc$cc.log
 done
 
+echo "[$(stamp)] step 3b: config 1 cost decomposition (per-round + compact A/B)"
+timeout 3600 python probes/r3_cfg1_decomp.py 2>&1 \
+  | tee probes/out/r3_cfg1_decomp.log
+
 echo "[$(stamp)] step 4: config 3 (full + interactive presets)"
 timeout 3600 python -m raytrace_tpu.apps.benchmark --configs 3 2>&1 \
   | tee probes/out/r3_cfg3.log
@@ -30,6 +34,10 @@ timeout 3600 python -m raytrace_tpu.apps.benchmark --configs 3 2>&1 \
 echo "[$(stamp)] step 5: config 5 (tiled 4K, now on the Pallas denoise chain)"
 timeout 3600 python -m raytrace_tpu.apps.benchmark --configs 5 2>&1 \
   | tee probes/out/r3_cfg5.log
+
+echo "[$(stamp)] step 5b: config 5 on arbitrary content (volume_fast)"
+timeout 3600 python -m raytrace_tpu.apps.benchmark --configs 5 \
+  --tracer volume_fast 2>&1 | tee probes/out/r3_cfg5_volfast.log
 
 echo "[$(stamp)] step 6: volume_fast FULL pipeline at the bench shape"
 RAYTRACE_TPU_TRACER=volume_fast timeout 3600 python bench.py 2>&1 \
