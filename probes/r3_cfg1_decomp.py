@@ -94,6 +94,14 @@ def main():
             f"trace-only compact_cap={cc}",
         )
 
+    # Occupancy-bounds escape A/B (traced flag: same compiled program).
+    _time(
+        lambda t: trace_rays_vol(
+            tables, fused, *rays(t), lr, max_steps=1024, escape=False
+        )["distance"],
+        "trace-only escape=False",
+    )
+
     for r in (1, 2, 3):
         _time(
             lambda t, r=r: trace_rays_vol(

@@ -238,6 +238,45 @@ def update_vol_tables(
     }
 
 
+def _occupancy_world_bounds(any8b: jax.Array, lr: jax.Array) -> jax.Array:
+    """Per-axis world-space bounds of all occupied bricks: (6,) i32
+    ``[xmin, xmax, ymin, ymax, zmin, zmax]`` with min inclusive and max
+    exclusive, in world voxel coordinates inside the active window
+    ``[lr - 128, lr + 128)``.
+
+    The volume is toroidal (texel = (world + 128) mod 256), so a texel
+    brick's world coordinate depends on ``lr``: slot ``bt`` starts at world
+    ``lr - 128 + ((8*bt - lr) mod 256)``.  Exact for ANY integer lr — when
+    the window isn't brick-aligned, the one slot straddling the wrap
+    contributes both of its world pieces.  An empty volume yields an
+    inverted box (min > max), which the kernel's escape test reads as
+    "every ray is sky".
+
+    This is the general-content analog of the heightfield kernel's
+    sky-escape / rising-ray rules (ops/lighting_pallas.py): a ray at or
+    beyond a bound and not moving back toward the box can never hit and
+    completes as air without touching the tables.
+    """
+    occ = [any8b.any((0, 1)), any8b.any((0, 2)), any8b.any((1, 2))]  # x y z
+    starts = jnp.arange(NB, dtype=jnp.int32) * 8
+    big = jnp.int32(1) << 30
+    out = []
+    for axis in range(3):
+        lr_a = lr[axis]
+        lo_w = lr_a - _HALF
+        w0 = jnp.mod(starts - lr_a, _N) + lo_w  # slot world start
+        end = jnp.minimum(w0 + 8, lo_w + _N)
+        rem = w0 + 8 - (lo_w + _N)  # > 0: slot wraps past the window end
+        ob = occ[axis]
+        mn = jnp.min(jnp.where(ob, w0, big))
+        mx = jnp.max(jnp.where(ob, end, -big))
+        wrapped = ob & (rem > 0)
+        mn = jnp.where(jnp.any(wrapped), jnp.minimum(mn, lo_w), mn)
+        mx = jnp.maximum(mx, jnp.max(jnp.where(wrapped, lo_w + rem, -big)))
+        out += [mn, mx]
+    return jnp.stack(out)
+
+
 # ---------------------------------------------------------------------------
 # The Pallas coarse kernel
 # ---------------------------------------------------------------------------
@@ -247,7 +286,7 @@ def _make_vol_kernel(tile_rows: int, max_steps: int, unroll: int = 2):
     S = tile_rows
 
     def kernel(
-        iscal_ref,  # SMEM (8,) i32: lrx, lry, lrz
+        iscal_ref,  # SMEM (12,) i32: lrx, lry, lrz, occupancy bounds (6)
         px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, n0_ref,  # (S,128)
         any8_ref, all8_ref, hi_ref,  # pyramid tables
         opx_ref, opy_ref, opz_ref, onormal_ref, ostatus_ref,
@@ -257,6 +296,13 @@ def _make_vol_kernel(tile_rows: int, max_steps: int, unroll: int = 2):
             jnp.float32(iscal_ref[1]),
             jnp.float32(iscal_ref[2]),
         )
+        # Occupancy world bounds (_occupancy_world_bounds): min inclusive,
+        # max exclusive per axis.  Everything outside is provably air, so a
+        # ray at/beyond a bound and not moving back toward the box escapes
+        # to sky immediately.
+        bxmin, bxmax = jnp.float32(iscal_ref[3]), jnp.float32(iscal_ref[4])
+        bymin, bymax = jnp.float32(iscal_ref[5]), jnp.float32(iscal_ref[6])
+        bzmin, bzmax = jnp.float32(iscal_ref[7]), jnp.float32(iscal_ref[8])
 
         dxv, dyv, dzv = dx_ref[:], dy_ref[:], dz_ref[:]
         inv_len = jax.lax.rsqrt(
@@ -303,6 +349,25 @@ def _make_vol_kernel(tile_rows: int, max_steps: int, unroll: int = 2):
             born_oob = act & oob_of(px, py, pz)
             status = jnp.where(born_oob, jnp.int32(_DONE | _AIR), s["status"])
             act = act & ~born_oob
+
+            # Occupancy-bounds escape: at/beyond a bound and not moving
+            # back toward the box on that axis => no occupied voxel is
+            # ever reachable (in-window positions never alias toroidally).
+            # Catches sky rays the moment they clear the content AABB
+            # instead of marching them to the window edge — the
+            # general-content analog of lighting_pallas's sky-escape +
+            # rising-ray completions.
+            esc = (
+                ((dxv >= 0) & (px >= bxmax))
+                | ((dxv <= 0) & (px < bxmin))
+                | ((dyv >= 0) & (py >= bymax))
+                | ((dyv <= 0) & (py < bymin))
+                | ((dzv >= 0) & (pz >= bzmax))
+                | ((dzv <= 0) & (pz < bzmin))
+            )
+            escaped = act & esc
+            status = jnp.where(escaped, jnp.int32(_DONE | _AIR), status)
+            act = act & ~escaped
 
             xi = jnp.floor(px).astype(jnp.int32)
             yi = jnp.floor(py).astype(jnp.int32)
@@ -646,7 +711,8 @@ def _resolve_maybe_compact(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "max_steps", "tile_rows", "interpret", "rounds", "cap", "compact_cap"
+        "max_steps", "tile_rows", "interpret", "rounds", "cap",
+        "compact_cap"
     ),
 )
 def trace_rays_vol(
@@ -662,6 +728,7 @@ def trace_rays_vol(
     cap: int = 96,
     active: jax.Array | None = None,
     compact_cap: int | None = None,
+    escape: bool = True,
 ) -> dict[str, jax.Array]:
     """General-volume trace; drop-in for trace_jax.trace_rays.
 
@@ -688,6 +755,15 @@ def trace_rays_vol(
 
     ``active`` marks rays to trace at all (born-done otherwise), matching
     trace_rays_hf's contract for skipped bounce legs.
+
+    ``escape`` (default True) completes rays as air the moment they clear
+    the occupancy AABB moving away from it (_occupancy_world_bounds) —
+    sky rays stop in one or two kernel iterations instead of marching to
+    the window edge.  Hit results are identical; escaped AIR rays report
+    their escape position rather than the window-exit position, which no
+    consumer reads (integrate_gbuffers masks every air field).  The flag
+    is traced, not static: False selects never-true infinite bounds in
+    the SAME compiled program, so an on-hardware A/B costs no recompile.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -721,7 +797,18 @@ def trace_rays_vol(
         ).astype(jnp.int32)
 
     lri = jnp.asarray(lr, jnp.int32)
-    iscal = jnp.concatenate([lri, jnp.zeros(5, jnp.int32)])
+    # escape is TRACED (a jnp.where on the bound values, not a program
+    # variant): A/B-ing it on hardware reuses one compiled program, and
+    # False degrades the kernel's escape test to never-true infinite
+    # bounds.
+    big = jnp.int32(1) << 30
+    inf_bounds = jnp.stack([-big, big, -big, big, -big, big])
+    bounds = jnp.where(
+        jnp.asarray(escape, bool),
+        _occupancy_world_bounds(tables["any8b"], lri),
+        inf_bounds,
+    )
+    iscal = jnp.concatenate([lri, bounds, jnp.zeros(3, jnp.int32)])
 
     ray_spec = pl.BlockSpec(
         (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -922,13 +1009,15 @@ def render_gbuffers_vol(
     interpret: bool | None = None,
     bounces: int = 2,
     compact_cap: int | None = None,
+    escape: bool = True,
 ) -> dict[str, jax.Array]:
     """G-buffers via the fast general-volume tracer.
 
     Same lighting integration as the other tracers (trace_jax
     integrate_gbuffers) with trace_rays_vol plugged in; renders arbitrary
     volume content (preloaded/edited worlds) at brick-pyramid speed.
-    compact_cap forwards to trace_rays_vol (O(live) late-round resolves).
+    compact_cap and escape forward to trace_rays_vol (O(live) late-round
+    resolves; occupancy-bounds sky completion).
     """
     from .trace_jax import integrate_gbuffers
 
@@ -938,6 +1027,7 @@ def render_gbuffers_vol(
         return trace_rays_vol(
             tables, fused_flat, o, d, lr_i, max_steps=max_steps,
             interpret=interpret, active=active, compact_cap=compact_cap,
+            escape=escape,
         )
 
     return integrate_gbuffers(

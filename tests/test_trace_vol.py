@@ -194,6 +194,102 @@ def test_active_mask_skips_rays(weird_world):
     )
 
 
+def test_occupancy_world_bounds():
+    """Bounds = exact world-space AABB of occupied bricks for any lr,
+    including non-brick-aligned windows (wrap-straddling slots count both
+    pieces) and the empty volume (inverted box)."""
+    from raytrace_tpu.ops.trace_vol_pallas import _occupancy_world_bounds
+
+    rng = np.random.default_rng(3)
+    any8b = np.zeros((32, 32, 32), bool)
+    idx = rng.integers(0, 32, (40, 3))
+    any8b[idx[:, 0], idx[:, 1], idx[:, 2]] = True
+
+    for lr in [(0, 0, 0), (16, -48, 112), (-16, 0, 48), (5, -3, 250)]:
+        got = np.asarray(
+            _occupancy_world_bounds(
+                jnp.asarray(any8b), jnp.asarray(lr, jnp.int32)
+            )
+        )
+        occ_ax = [any8b.any((0, 1)), any8b.any((0, 2)), any8b.any((1, 2))]
+        for axis in range(3):
+            lo = lr[axis] - 128
+            ts = np.concatenate(
+                [np.arange(8 * bt, 8 * bt + 8) for bt in np.nonzero(occ_ax[axis])[0]]
+            )
+            ws = lo + ((ts - lo - 128) % 256)  # world coord of each texel
+            assert got[2 * axis] == ws.min(), (axis, lr)
+            assert got[2 * axis + 1] == ws.max() + 1, (axis, lr)
+
+    empty = np.asarray(
+        _occupancy_world_bounds(
+            jnp.zeros((32, 32, 32), bool), jnp.zeros(3, jnp.int32)
+        )
+    )
+    assert (empty[0::2] > empty[1::2]).all()  # inverted => every ray is sky
+
+
+def test_escape_equivalence(weird_world):
+    """escape=True completes sky rays early; hit results are bit-identical
+    to escape=False and the air partition is unchanged."""
+    fused, tables = weird_world
+    for origin, pitch in [
+        ((0.5, -60.0, 40.0), -0.4),  # toward terrain: mixed hit/sky
+        ((0.5, -60.0, 40.0), 0.9),   # skyward: all air
+        ((0.5, 0.5, -50.0), -1.2),   # inside the slab looking down
+    ]:
+        o, d = _cam_rays(origin, pitch)
+        ref = {
+            k: np.asarray(v)
+            for k, v in trace_rays_vol(
+                tables, fused, o, d, LR, interpret=True, escape=False
+            ).items()
+        }
+        got = {
+            k: np.asarray(v)
+            for k, v in trace_rays_vol(
+                tables, fused, o, d, LR, interpret=True
+            ).items()
+        }
+        np.testing.assert_array_equal(got["air"], ref["air"], err_msg=str(pitch))
+        np.testing.assert_array_equal(got["exhausted"], ref["exhausted"])
+        hit = ~ref["air"]
+        for k in ("position", "normal", "albedo", "distance"):
+            np.testing.assert_array_equal(
+                got[k][hit], ref[k][hit], err_msg=f"{k} pitch={pitch}"
+            )
+
+
+def test_escape_frames_bit_equal(weird_world):
+    """Escaped air rays report different positions, but no g-buffer reads
+    them: full frames must be bit-identical with escape on and off."""
+    from raytrace_tpu.ops.trace_vol_pallas import render_gbuffers_vol
+    from raytrace_tpu.utils.blue_noise import get_blue_noise_f32
+
+    fused, tables = weird_world
+    cam = Camera(origin=[0.5, -60.0, 40.0])
+    cam.pitch = -0.3
+    fwd, up, right = cam.scaled_basis()
+    uni = dict(
+        origin=jnp.asarray(cam.origin, jnp.float32),
+        forward=jnp.asarray(fwd, jnp.float32),
+        up=jnp.asarray(up, jnp.float32),
+        right=jnp.asarray(right, jnp.float32),
+        sun_angle=jnp.float32(0.6),
+        seed=jnp.int32(7),
+        lr=jnp.asarray(LR, jnp.float32),
+    )
+    bn = jnp.asarray(get_blue_noise_f32())
+    on = render_gbuffers_vol(fused, tables, bn, uni, 32, 32, 512, bounces=1)
+    off = render_gbuffers_vol(
+        fused, tables, bn, uni, 32, 32, 512, bounces=1, escape=False
+    )
+    for k in on:
+        np.testing.assert_array_equal(
+            np.asarray(on[k]), np.asarray(off[k]), err_msg=k
+        )
+
+
 def test_pyramid_table_invariants():
     """any/all bit planes must be consistent with each other and the voxels."""
     rng = np.random.default_rng(0)
