@@ -18,7 +18,10 @@ Architecture (TPU-first, not a port):
     classify the current voxel's bricks, skip 8/16/32/64 through provably
     empty space, hit immediately inside all-solid bricks, and PARK when
     entering a *mixed* brick (partially solid) — the only case that needs
-    per-voxel data.
+    per-voxel data.  Rays that clear the occupancy AABB moving away from
+    it complete as air immediately (_occupancy_world_bounds — the
+    general-content analog of the heightfield kernel's sky-escape and
+    rising-ray rules).
   * Parked rays are resolved OUTSIDE the kernel by plain XLA: one row
     gather pulls each parked ray's 512-bit brick mask (16 i32 words from a
     (32768, 16) HBM table — row gathers run at ~81 GB/s where per-element
