@@ -148,23 +148,15 @@ def _run():
     # needs ~4 slice moves before the region settles, and draw_frame would
     # compile the interactive fast path — a second multi-minute compile
     # through the remote helper that the measured program never uses.
-    # Driving the streamer directly converges the same state (draw_frame
-    # issues exactly one request_move_towards per frame) while the only
-    # compile on the critical path stays frame_at below.
-    target = (cam.origin[0], 0, cam.origin[2])
-    for _ in range(4 * WARMUP):
-        pipeline.streamer.request_move_towards(target)
-        if not pipeline.streamer.setup_next_request():
-            break
-
-    # Fill the uniforms the way draw_frame would for this camera.
-    forward, up, right = cam.scaled_basis()
-    u = pipeline.uniforms
-    u.origin = tuple(cam.origin)
-    u.forward, u.up, u.right = forward, up, right
-    u.sun_angle = 0.6
-    u.lr = pipeline.streamer.get_render_offset()
-    uniforms = u.as_device_dict()
+    # converge_streaming repeats exactly the one-slice step draw_frame
+    # performs per frame, so the only compile on the critical path stays
+    # frame_at below; fill_uniforms is the same fill draw_frame does
+    # (bump_seed=False: frame_at varies the seed itself).
+    pipeline.converge_streaming(
+        (cam.origin[0], 0, cam.origin[2]), max_moves=4 * WARMUP
+    )
+    pipeline.fill_uniforms(cam, 0.6, bump_seed=False)
+    uniforms = pipeline.uniforms.as_device_dict()
     if tracer in ("hf", "fused"):
         # Build the heightfield tables for the converged region directly
         # (the pipeline's interactive fast path folds the table build into

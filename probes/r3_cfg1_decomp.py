@@ -67,20 +67,14 @@ def main():
     cam.pitch = -0.5
     uni = _uniforms(cam)
 
+    from raytrace_tpu.ops.trace_jax import camera_rays
+
     def rays(t):
-        # Same primary-ray generation the g-buffer pass uses, cheap enough
-        # to ride inside every timed program (its cost cancels in diffs and
-        # is itself timed by the noop row).
-        o = uni["origin"] + t * jnp.asarray([1.0, 1.0, 0.0])
-        px = (jnp.arange(W, dtype=jnp.float32)[None, :] + 0.5) / W - 0.5
-        py = (jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5) / H - 0.5
-        d = (
-            uni["forward"][None, None]
-            + px[..., None] * uni["right"][None, None]
-            + py[..., None] * uni["up"][None, None]
-        )
-        o = jnp.broadcast_to(o, d.shape)
-        return o, d
+        # THE primary-ray generation the g-buffer pass uses (same function,
+        # same frustum), so trace-only rows difference cleanly against the
+        # full-frame rows; its cost is bounded by the noop row.
+        u = dict(uni, origin=uni["origin"] + t * jnp.asarray([1.0, 1.0, 0.0]))
+        return camera_rays(u, W, H)
 
     lr = jnp.zeros(3, jnp.int32)
 
@@ -102,14 +96,8 @@ def main():
         "trace-only escape=False",
     )
 
-    for r in (1, 2, 3):
-        _time(
-            lambda t, r=r: trace_rays_vol(
-                tables, fused, *rays(t), lr, max_steps=1024, rounds=r
-            )["distance"],
-            f"trace-only rounds={r} (marginal = round cost)",
-        )
-
+    # Decision-critical rows FIRST (a slow-compile day can eat the tail:
+    # ~10 jitted variants at 150-350 s each can exceed the step timeout).
     for cc in (None, 16384):
         _time(
             lambda t, cc=cc: render_gbuffers_vol(
@@ -124,6 +112,14 @@ def main():
                 compact_cap=cc,
             )["albedo"],
             f"full config-1 frame compact_cap={cc}",
+        )
+
+    for r in (1, 2, 3):
+        _time(
+            lambda t, r=r: trace_rays_vol(
+                tables, fused, *rays(t), lr, max_steps=1024, rounds=r
+            )["distance"],
+            f"trace-only rounds={r} (marginal = round cost)",
         )
 
 

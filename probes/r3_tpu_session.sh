@@ -24,7 +24,8 @@ for cc in 16384 32768; do
 done
 
 echo "[$(stamp)] step 3b: config 1 cost decomposition (per-round + compact A/B)"
-timeout 3600 python probes/r3_cfg1_decomp.py 2>&1 \
+# ~10 jitted variants at 150-350 s compile each on a slow-tunnel day.
+timeout 7200 python probes/r3_cfg1_decomp.py 2>&1 \
   | tee probes/out/r3_cfg1_decomp.log
 
 echo "[$(stamp)] step 4: config 3 (full + interactive presets)"

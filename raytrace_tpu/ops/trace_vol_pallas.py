@@ -155,9 +155,11 @@ def build_vol_tables(fused_flat: jax.Array) -> dict[str, jax.Array]:
 
     Rebuild whenever the whole volume changes; after a streamed 16-voxel
     slab write, prefer update_vol_tables (recomputes only the touched
-    bricks).  'any8b'/'all8b' — (32,32,32) per-brick bools — are carried in
-    the dict purely as the incremental path's working state.  Solidity =
-    minefield step == 0, matching trace_jax's hit test.
+    bricks).  'any8b'/'all8b' — (32,32,32) per-brick bools — are the
+    incremental path's working state, and trace_rays_vol reads 'any8b' on
+    every call to derive the occupancy-bounds escape box
+    (_occupancy_world_bounds).  Solidity = minefield step == 0, matching
+    trace_jax's hit test.
     """
     step = (fused_flat.reshape(_N, _N, _N) >> STEP_SHIFT).astype(jnp.int32)
     solid = step == 0  # (z, y, x) texel space

@@ -311,12 +311,35 @@ class Pipeline:
         self.streamer.teleport((camera.origin[0], 0.0, camera.origin[2]))
         self._hf_lr = None  # invalidate heightfield tables
         # Drain any residual sub-slice drift so the next frame is centered.
-        for _ in range(8):
-            self.streamer.request_move_towards(
-                (camera.origin[0], 0, camera.origin[2])
-            )
+        self.converge_streaming(
+            (camera.origin[0], 0, camera.origin[2]), max_moves=8
+        )
+
+    def converge_streaming(self, target, max_moves: int = 32) -> None:
+        """Drive the streamer's move_towards loop to its fixed point: the
+        single request-one-slice step draw_frame performs each frame,
+        repeated until no request is pending (at most max_moves).  Used by
+        teleport and by benchmark warmups that must converge the region
+        without paying a draw_frame compile."""
+        for _ in range(max_moves):
+            self.streamer.request_move_towards(target)
             if not self.streamer.setup_next_request():
                 break
+
+    def fill_uniforms(
+        self, camera: Camera, sun_angle: float, bump_seed: bool = True
+    ) -> None:
+        """The per-frame uniform fill draw_frame performs
+        (pipeline.rs:198-210).  bump_seed=False for callers that manage
+        the noise seed themselves (benchmark frame programs)."""
+        forward, up, right = camera.scaled_basis()
+        u = self.uniforms
+        u.origin = tuple(camera.origin)
+        u.forward, u.up, u.right = forward, up, right
+        if bump_seed:
+            u.seed = (u.seed + 1) % BLUE_NOISE_SIZE
+        u.sun_angle = sun_angle
+        u.lr = self.streamer.get_render_offset()
 
     def draw_frame(self, camera: Camera, sun_angle: float) -> jax.Array:
         """One frame: stream one slice toward the camera, then render.
@@ -328,20 +351,15 @@ class Pipeline:
         self.streamer.request_move_towards((camera.origin[0], 0, camera.origin[2]))
         self.streamer.setup_next_request()
 
-        forward, up, right = camera.scaled_basis()
+        self.fill_uniforms(camera, sun_angle)
         u = self.uniforms
-        u.origin = tuple(camera.origin)
-        u.forward, u.up, u.right = forward, up, right
-        u.seed = (u.seed + 1) % BLUE_NOISE_SIZE
-        u.sun_angle = sun_angle
-        u.lr = self.streamer.get_render_offset()
 
         if self.tracer == "fused" and not self.validate:
             # Interactive fast path: one packed upload, one dispatch; the
             # table rebuild rides inside the frame program.
             assert u.lr[1] == 0, u.lr  # streamer never recenters along Y
             packed = np.array(
-                [*u.origin, *forward, *up, *right, u.sun_angle,
+                [*u.origin, *u.forward, *u.up, *u.right, u.sun_angle,
                  float(u.seed), float(u.lr[0]), float(u.lr[2])],
                 np.float32,
             )
@@ -351,7 +369,9 @@ class Pipeline:
                 self.bounces,
             )
             u.old_origin = u.origin
-            u.old_transform = _invert3(tuple(zip(*(right, up, forward))))
+            u.old_transform = _invert3(
+                tuple(zip(*(u.right, u.up, u.forward)))
+            )
             return frame
 
         if self.tracer in ("hf", "fused"):
@@ -421,7 +441,7 @@ class Pipeline:
         # Post-submit reprojection bookkeeping (pipeline.rs:214-227).
         u.old_origin = u.origin
         u.old_transform = _invert3(
-            tuple(zip(*(right, up, forward)))  # columns right,up,forward
+            tuple(zip(*(u.right, u.up, u.forward)))  # columns r,u,f
         )
         return frame
 

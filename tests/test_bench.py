@@ -67,6 +67,7 @@ def test_unrelated_runtime_errors_still_raise(monkeypatch):
         raise AssertionError("unrelated RuntimeError was swallowed")
 
 
+@pytest.mark.slow  # real 256^3 worldgen + device slab application (~45 s)
 def test_warmup_drain_reaches_move_towards_fixed_point():
     """bench._run converges streaming by draining the streamer directly
     (avoiding a second multi-minute draw_frame compile on the TPU).  That
