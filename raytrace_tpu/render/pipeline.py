@@ -315,6 +315,23 @@ class Pipeline:
             (camera.origin[0], 0, camera.origin[2]), max_moves=8
         )
 
+    def edit_box(self, world_min, shape, material_id=None) -> None:
+        """Edit the live world: write a solid material box (or carve air
+        with material_id=None) into the resident volume at world-voxel
+        ``world_min``/``shape`` (x, y, z).  Exact for both volume tracers
+        (solidity + repaired minefield, world/edit.py); the occupancy
+        tables rebuild automatically on the next frame.  The heightfield
+        tracers ("hf"/"fused") derive their tables from worldgen, not the
+        volume, and cannot display edits — render edits with
+        tracer="volume_fast" (fast) or "volume" (exact-DDA)."""
+        if self.tracer in ("hf", "fused"):
+            raise ValueError(
+                f"tracer={self.tracer!r} renders from worldgen-derived "
+                "heightfields and cannot display volume edits; use "
+                "tracer='volume_fast'"
+            )
+        self.streamer.edit_box(world_min, shape, material_id)
+
     def converge_streaming(self, target, max_moves: int = 32) -> None:
         """Drive the streamer's move_towards loop to its fixed point: the
         single request-one-slice step draw_frame performs each frame,

@@ -213,6 +213,23 @@ class TerrainStreamer:
             jnp.asarray(pos.origin, jnp.int32), jnp.asarray(ns, jnp.int32), self.seed
         )
 
+    def edit_box(self, world_min, shape, material_id=None) -> None:
+        """Write an axis-aligned world-space box into the resident volume
+        (solid ``material_id`` or carved air when None) with exact
+        solidity and repaired minefield — see world/edit.py for the
+        semantics and limits.  Derived tables rebuild on next use (the
+        slab log is invalidated, same as teleport)."""
+        from ..world.edit import edit_fused_volume
+
+        self.volume = edit_fused_volume(
+            self.volume,
+            self.gpu_position.render_offset(),
+            world_min,
+            shape,
+            material_id,
+        )
+        self._slab_log = None  # consumers must fully rebuild tables
+
     # -- request generation (terrain_upload.rs:294-349) --
     def request_increase(self, axis: int) -> None:
         old = Position(self.cpu_position.origin, self.cpu_position.num_loaded_slices)
