@@ -34,7 +34,7 @@ class TerminalInput:
     frame rates.  ESC or Ctrl-C exits.
     """
 
-    KEYS = "wasdqerf"
+    KEYS = "wasdqerfbx"
 
     def __init__(self, hold_frames: int = 4):
         import sys
@@ -84,17 +84,21 @@ def run(
     quiet: bool = False,
     interactive: bool = False,
     bounces: int = 2,
+    tracer: str | None = None,
 ):
     """Run the frame loop; returns (last_frame, avg_ms, max_ms).
 
     `script` is an optional list of (frame_index, event, key) tuples, e.g.
     [(0, "press", "w"), (60, "release", "w")].  `interactive` reads live
-    w/a/s/d/q/e/r/f keys from the terminal instead (ESC quits).
+    w/a/s/d/q/e/r/f keys from the terminal instead (ESC quits); on a
+    volume-tracer pipeline (tracer="volume_fast"), `b` places a material
+    box ahead of the camera and `x` carves one (Pipeline.edit_box).
     """
     game = Game(args)
     t0 = time.monotonic()
     pipeline = Pipeline(
-        width=width, height=height, max_steps=max_steps, bounces=bounces
+        width=width, height=height, max_steps=max_steps, bounces=bounces,
+        tracer=tracer,
     )
     if not quiet:
         print(f"Created renderer (and world) in {time.monotonic() - t0:.2f}s.")
@@ -120,6 +124,49 @@ def run(
     if not quiet:
         print()
     return frame, perf.average(), perf.max()
+
+
+EDIT_REACH = 24.0  # edit box center this far along the camera forward
+EDIT_SIZE = 6
+EDIT_MATERIAL = 3
+
+
+def _maybe_edit(game, pipeline, quiet) -> None:
+    """Consume place/carve key edges: write a small box ahead of the
+    camera (Pipeline.edit_box).  Heightfield-tracer pipelines cannot
+    display edits; say so once instead of raising out of the loop."""
+    place = game.controls.is_pressed("place")
+    carve = game.controls.is_pressed("carve")
+    if not (place or carve):
+        return
+    if pipeline.tracer not in ("volume", "volume_fast"):
+        if not quiet and not getattr(game, "_edit_hint_shown", False):
+            game._edit_hint_shown = True
+            print(
+                "\n[edit] tracer="
+                f"{pipeline.tracer!r} cannot display edits; rerun with "
+                "--tracer volume_fast"
+            )
+        return
+    from ..render.camera import compute_triple_euler_vector
+
+    fwd, _, _ = compute_triple_euler_vector(
+        game.camera.heading, game.camera.pitch
+    )
+    n = sum(c * c for c in fwd) ** 0.5
+    mn = tuple(
+        int(np.floor(o + EDIT_REACH * c / n)) - EDIT_SIZE // 2
+        for o, c in zip(game.camera.origin, fwd)
+    )
+    try:
+        pipeline.edit_box(
+            mn, (EDIT_SIZE,) * 3, EDIT_MATERIAL if place else None
+        )
+        if not quiet:
+            print(f"\n[edit] {'placed' if place else 'carved'} box at {mn}")
+    except ValueError as e:  # outside the resident window
+        if not quiet:
+            print(f"\n[edit] rejected: {e}")
 
 
 def _loop(game, pipeline, frames, dump_every, out_dir, script, quiet, perf,
@@ -149,6 +196,7 @@ def _loop(game, pipeline, frames, dump_every, out_dir, script, quiet, perf,
             print(f"\r{perf.average():.1f}ms / {perf.max():.1f}ms   ", end="", flush=True)
 
         game.tick(millis / 1000.0)
+        _maybe_edit(game, pipeline, quiet)
         frame = pipeline.draw_frame(game.camera, game.get_sun_angle())
         game.controls.tick()
 
@@ -175,7 +223,14 @@ def main():
     ap.add_argument(
         "--interactive", action="store_true",
         help="live w/a/s/d/q/e movement + r/f sun from the terminal "
-        "(ESC quits); replaces the default scripted flight",
+        "(ESC quits); replaces the default scripted flight.  On "
+        "--tracer volume_fast, b places a block box and x carves one",
+    )
+    ap.add_argument(
+        "--tracer", default=None,
+        choices=("fused", "hf", "volume", "volume_fast"),
+        help="frame tracer (default: the fused heightfield fast path; "
+        "volume_fast enables world editing)",
     )
     ns = ap.parse_args()
     w, h = map(int, ns.size.split("x"))
@@ -197,6 +252,7 @@ def main():
         max_steps=ns.max_steps,
         interactive=ns.interactive,
         bounces=ns.bounces,
+        tracer=ns.tracer,
     )
 
 

@@ -49,6 +49,11 @@ class Game:
         s.add_control("backward", "s")
         s.add_control("sunup", "r")
         s.add_control("sundown", "f")
+        # Beyond the reference control set (mod.rs has no editing): place /
+        # carve a block box ahead of the camera (consumed by the frame
+        # loop, apps/flythrough.py, on volume-tracer pipelines).
+        s.add_control("place", "b")
+        s.add_control("carve", "x")
         return s
 
     def tick(self, dt: float) -> None:

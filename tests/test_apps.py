@@ -67,6 +67,27 @@ def test_flythrough_run_scripted(cheap_pipeline, monkeypatch):
     assert np.isfinite(frame).all()
 
 
+def test_flythrough_edit_key_places_block(cheap_pipeline, monkeypatch):
+    """The scripted/live 'b' key writes a box ahead of the camera through
+    Pipeline.edit_box and the next frame shows it.  Static camera + seed
+    reset make the no-edit run bit-reproducible, so the difference is the
+    edit, not noise."""
+    from raytrace_tpu.apps import flythrough
+
+    def make(**kw):
+        cheap_pipeline.uniforms.seed = 0
+        return cheap_pipeline
+
+    monkeypatch.setattr("raytrace_tpu.apps.flythrough.Pipeline", make)
+    cam = ["0", "0", "60", "1.5708", "-0.3", "0.6"]
+    common = dict(frames=2, width=48, height=48, quiet=True)
+    base, *_ = flythrough.run(cam, script=[], **common)
+    again, *_ = flythrough.run(cam, script=[], **common)
+    np.testing.assert_array_equal(base, again)  # determinism control
+    edited, *_ = flythrough.run(cam, script=[(1, "press", "b")], **common)
+    assert not np.array_equal(base, edited)
+
+
 def test_terminal_input_hold_release(monkeypatch):
     """TerminalInput.pump: a received key is held for hold_frames frames,
     then released (terminals deliver key-down only; key-repeat refreshes)."""
