@@ -88,12 +88,27 @@ def main():
             f"trace-only compact_cap={cc}",
         )
 
-    # Occupancy-bounds escape A/B (traced flag: same compiled program).
+    # Occupancy-bounds escape / approach-jump A/B (traced flags: all three
+    # rows share ONE compiled program with the default row above).
     _time(
         lambda t: trace_rays_vol(
             tables, fused, *rays(t), lr, max_steps=1024, escape=False
         )["distance"],
         "trace-only escape=False",
+    )
+    _time(
+        lambda t: trace_rays_vol(
+            tables, fused, *rays(t), lr, max_steps=1024, approach_jump=True
+        )["distance"],
+        "trace-only approach_jump=True",
+    )
+    _time(
+        lambda t: render_gbuffers_vol(
+            fused, tables, bn,
+            dict(uni, origin=uni["origin"] + t * jnp.asarray([1.0, 1.0, 0.0])),
+            W, H, 1024, bounces=0, compact_cap=16384, approach_jump=True,
+        )["albedo"],
+        "full config-1 frame cc=16384 + jump",
     )
 
     # Decision-critical rows FIRST (a slow-compile day can eat the tail:

@@ -291,7 +291,7 @@ def _make_vol_kernel(tile_rows: int, max_steps: int, unroll: int = 2):
     S = tile_rows
 
     def kernel(
-        iscal_ref,  # SMEM (12,) i32: lrx, lry, lrz, occupancy bounds (6)
+        iscal_ref,  # SMEM (16,) i32: lr (3), escape bounds (6), jump bounds (6)
         px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, n0_ref,  # (S,128)
         any8_ref, all8_ref, hi_ref,  # pyramid tables
         opx_ref, opy_ref, opz_ref, onormal_ref, ostatus_ref,
@@ -308,6 +308,11 @@ def _make_vol_kernel(tile_rows: int, max_steps: int, unroll: int = 2):
         bxmin, bxmax = jnp.float32(iscal_ref[3]), jnp.float32(iscal_ref[4])
         bymin, bymax = jnp.float32(iscal_ref[5]), jnp.float32(iscal_ref[6])
         bzmin, bzmax = jnp.float32(iscal_ref[7]), jnp.float32(iscal_ref[8])
+        # Approach-jump bounds (usually the same box; infinite when the
+        # feature is off — value-gated, same compiled program).
+        jxmin, jxmax = jnp.float32(iscal_ref[9]), jnp.float32(iscal_ref[10])
+        jymin, jymax = jnp.float32(iscal_ref[11]), jnp.float32(iscal_ref[12])
+        jzmin, jzmax = jnp.float32(iscal_ref[13]), jnp.float32(iscal_ref[14])
 
         dxv, dyv, dzv = dx_ref[:], dy_ref[:], dz_ref[:]
         inv_len = jax.lax.rsqrt(
@@ -418,6 +423,40 @@ def _make_vol_kernel(tile_rows: int, max_steps: int, unroll: int = 2):
             use_y = ~(lx < ly) & (ly < lz)
             lmin = jnp.where(use_x, lx, jnp.where(use_y, ly, lz))
             nrm = jnp.where(use_x, nx_id, jnp.where(use_y, ny_id, nz_id))
+
+            # Approach jump: outside the occupancy box on an axis but
+            # moving toward it — everything until the box's near plane is
+            # provably air (the classification above already ran on an
+            # in-window empty voxel), so the step may extend straight to
+            # the plane with the LARGEST approach distance (the true
+            # region-entry constraint, whose axis is also the geometric
+            # entry face the stepped DDA would record).  Same eps nudge as
+            # boundary_dist; the regular pyramid step wins when longer.
+            zero = jnp.float32(0.0)
+            jx = jnp.where(
+                (px < jxmin) & (dxv > 0), (jxmin - px) * lpx,
+                jnp.where((px >= jxmax) & (dxv < 0), (px - jxmax) * lpx, zero),
+            )
+            jy = jnp.where(
+                (py < jymin) & (dyv > 0), (jymin - py) * lpy,
+                jnp.where((py >= jymax) & (dyv < 0), (py - jymax) * lpy, zero),
+            )
+            jz = jnp.where(
+                (pz < jzmin) & (dzv > 0), (jzmin - pz) * lpz,
+                jnp.where((pz >= jzmax) & (dzv < 0), (pz - jzmax) * lpz, zero),
+            )
+            use_jx = (jx >= jy) & (jx >= jz)
+            use_jy = ~use_jx & (jy >= jz)
+            jmax = jnp.where(use_jx, jx, jnp.where(use_jy, jy, jz))
+            jdist = jmax + eps * jnp.where(
+                use_jx, lpx, jnp.where(use_jy, lpy, lpz)
+            )
+            jnrm = jnp.where(use_jx, nx_id, jnp.where(use_jy, ny_id, nz_id))
+            # jmax > 0 guards the no-approach case (eps alone must not
+            # fabricate a jump along a near-parallel axis with huge 1/|d|).
+            do_jump = (jmax > zero) & (jdist > lmin)
+            lmin = jnp.where(do_jump, jdist, lmin)
+            nrm = jnp.where(do_jump, jnrm, nrm)
 
             npx = jnp.where(move, px + dxv * lmin, px)
             npy = jnp.where(move, py + dyv * lmin, py)
@@ -734,6 +773,7 @@ def trace_rays_vol(
     active: jax.Array | None = None,
     compact_cap: int | None = None,
     escape: bool = True,
+    approach_jump: bool = False,
 ) -> dict[str, jax.Array]:
     """General-volume trace; drop-in for trace_jax.trace_rays.
 
@@ -769,6 +809,13 @@ def trace_rays_vol(
     consumer reads (integrate_gbuffers masks every air field).  The flag
     is traced, not static: False selects never-true infinite bounds in
     the SAME compiled program, so an on-hardware A/B costs no recompile.
+
+    ``approach_jump`` (default False pending hardware A/B) extends a step
+    to the occupancy box's entry plane for rays outside it moving toward
+    it — empty-gap traversal in one step instead of 64-voxel pyramid
+    hops.  Hit results match within float tolerance (the jump lands on
+    the same plane the stepped DDA reaches, via one multiply instead of
+    several).  Value-gated like ``escape``: no recompile to A/B.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -802,18 +849,20 @@ def trace_rays_vol(
         ).astype(jnp.int32)
 
     lri = jnp.asarray(lr, jnp.int32)
-    # escape is TRACED (a jnp.where on the bound values, not a program
-    # variant): A/B-ing it on hardware reuses one compiled program, and
-    # False degrades the kernel's escape test to never-true infinite
-    # bounds.
+    # escape / approach_jump are TRACED (jnp.where on the bound values,
+    # not program variants): A/B-ing them on hardware reuses one compiled
+    # program, and False degrades the corresponding kernel test to
+    # never-true infinite bounds.
     big = jnp.int32(1) << 30
     inf_bounds = jnp.stack([-big, big, -big, big, -big, big])
-    bounds = jnp.where(
-        jnp.asarray(escape, bool),
-        _occupancy_world_bounds(tables["any8b"], lri),
-        inf_bounds,
+    occ_bounds = _occupancy_world_bounds(tables["any8b"], lri)
+    esc_bounds = jnp.where(jnp.asarray(escape, bool), occ_bounds, inf_bounds)
+    jump_bounds = jnp.where(
+        jnp.asarray(approach_jump, bool), occ_bounds, inf_bounds
     )
-    iscal = jnp.concatenate([lri, bounds, jnp.zeros(3, jnp.int32)])
+    iscal = jnp.concatenate(
+        [lri, esc_bounds, jump_bounds, jnp.zeros(1, jnp.int32)]
+    )
 
     ray_spec = pl.BlockSpec(
         (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -1015,14 +1064,16 @@ def render_gbuffers_vol(
     bounces: int = 2,
     compact_cap: int | None = None,
     escape: bool = True,
+    approach_jump: bool = False,
 ) -> dict[str, jax.Array]:
     """G-buffers via the fast general-volume tracer.
 
     Same lighting integration as the other tracers (trace_jax
     integrate_gbuffers) with trace_rays_vol plugged in; renders arbitrary
     volume content (preloaded/edited worlds) at brick-pyramid speed.
-    compact_cap and escape forward to trace_rays_vol (O(live) late-round
-    resolves; occupancy-bounds sky completion).
+    compact_cap, escape, and approach_jump forward to trace_rays_vol
+    (O(live) late-round resolves; occupancy-bounds sky completion;
+    one-step empty-gap traversal).
     """
     from .trace_jax import integrate_gbuffers
 
@@ -1032,7 +1083,7 @@ def render_gbuffers_vol(
         return trace_rays_vol(
             tables, fused_flat, o, d, lr_i, max_steps=max_steps,
             interpret=interpret, active=active, compact_cap=compact_cap,
-            escape=escape,
+            escape=escape, approach_jump=approach_jump,
         )
 
     return integrate_gbuffers(

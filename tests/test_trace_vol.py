@@ -260,6 +260,38 @@ def test_escape_equivalence(weird_world):
             )
 
 
+def test_approach_jump_equivalence(weird_world):
+    """approach_jump reaches the same plane the stepped DDA reaches via
+    one multiply instead of several: identical air partition and hit
+    voxels; hit positions within float tolerance, normals exact."""
+    fused, tables = weird_world
+    for origin, pitch in [
+        ((0.5, -60.0, 40.0), -0.4),    # outside-above, approaching
+        ((60.0, -90.0, 60.0), -0.7),   # diagonal approach, two axes out
+        ((0.5, 0.5, -50.0), -1.2),     # inside the content box already
+    ]:
+        o, d = _cam_rays(origin, pitch)
+        ref = {
+            k: np.asarray(v)
+            for k, v in trace_rays_vol(
+                tables, fused, o, d, LR, interpret=True
+            ).items()
+        }
+        got = {
+            k: np.asarray(v)
+            for k, v in trace_rays_vol(
+                tables, fused, o, d, LR, interpret=True, approach_jump=True
+            ).items()
+        }
+        np.testing.assert_array_equal(got["air"], ref["air"], err_msg=str(pitch))
+        np.testing.assert_array_equal(got["exhausted"], ref["exhausted"])
+        hit = ~ref["air"]
+        np.testing.assert_array_equal(got["normal"][hit], ref["normal"][hit])
+        np.testing.assert_array_equal(got["albedo"][hit], ref["albedo"][hit])
+        dp = np.abs(got["position"] - ref["position"]).max(-1)
+        assert dp[hit].max() < 1e-3, (pitch, dp[hit].max())
+
+
 def test_escape_frames_bit_equal(weird_world):
     """Escaped air rays report different positions, but no g-buffer reads
     them: full frames must be bit-identical with escape on and off."""
