@@ -156,6 +156,37 @@ def test_edit_validation():
         edit_fused_volume(fused, CENTER, (0, 0, 0), (0, 4, 4), 1)
 
 
+@pytest.mark.slow  # real worldgen slab application on CPU
+def test_edit_survives_unrelated_streaming():
+    """Edits are overlays on the resident volume: a streamed slab on a
+    different region leaves them intact (only overlapping slabs may
+    regenerate over them — documented in world/edit.py)."""
+    from raytrace_tpu.render.streaming import TerrainStreamer
+
+    s = TerrainStreamer(seed=0)
+    s.initialize()
+    s.edit_box((-4, -4, 20), (8, 8, 8), 2)
+    word = np.uint32(PACKED_MATERIALS[2])
+    ix = np.ix_(
+        (np.arange(20, 28) + 128) % 256,
+        (np.arange(-4, 4) + 128) % 256,
+        (np.arange(-4, 4) + 128) % 256,
+    )
+    vol = np.asarray(s.volume).reshape(256, 256, 256)
+    assert (vol[ix] == word).all()
+
+    # Stream one slice along +x: regenerates a 16-voxel slab at the far
+    # window edge, nowhere near the edit.
+    s.request_increase(0)
+    assert s.setup_next_request()
+    vol2 = np.asarray(s.volume).reshape(256, 256, 256)
+    assert (vol2[ix] == word).all()
+    # The slab-log invalidation from the edit persists until drained: the
+    # next consumer must do a full table rebuild, never a stale
+    # incremental update.
+    assert s.drain_slab_log() is None
+
+
 @pytest.mark.slow  # full pipeline construction (256^3 worldgen) on CPU
 def test_pipeline_edit_end_to_end():
     """Pipeline.edit_box: the edit is visible in the next volume_fast
