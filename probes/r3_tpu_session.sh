@@ -8,6 +8,25 @@ cd /root/repo
 mkdir -p probes/out
 stamp() { date -u +"%Y-%m-%dT%H:%M:%SZ"; }
 
+echo "[$(stamp)] step 0: vol-kernel Mosaic smoke (escape+jump scalars are new)"
+timeout 900 python - <<'EOF' 2>&1 | tee probes/out/r3_smoke.log
+import numpy as np, jax, jax.numpy as jnp
+from raytrace_tpu.ops.trace_jax import fuse_volume
+from raytrace_tpu.ops.trace_vol_pallas import build_vol_tables, trace_rays_vol
+solid = np.zeros((256, 256, 256), bool); solid[:40] = True
+from raytrace_tpu.world.chunk import minefield_from_solid
+from raytrace_tpu.materials import PACKED_MATERIALS
+mats = np.where(solid, np.uint32(PACKED_MATERIALS[5]), np.uint32(0))
+fused = fuse_volume(jnp.asarray(mats), minefield_from_solid(jnp.asarray(solid)))
+t = build_vol_tables(fused)
+o = jnp.tile(jnp.asarray([[0.5, 0.5, 60.0]], jnp.float32), (256, 1))
+d = jnp.tile(jnp.asarray([[0.01, 0.01, -1.0]], jnp.float32), (256, 1))
+for kw in ({}, {"approach_jump": True}, {"escape": False}):
+    r = trace_rays_vol(t, fused, o, d, jnp.zeros(3, jnp.int32), **kw)
+    print(kw, "air:", int(r["air"].sum()), "hit ok:", bool((~r["air"]).any()))
+print("MOSAIC SMOKE OK")
+EOF
+
 echo "[$(stamp)] step 1: headline bench (fused) — the driver gate"
 timeout 2500 python bench.py 2>&1 | tee probes/out/r3_bench_fused.log
 
