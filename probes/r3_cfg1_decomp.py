@@ -18,7 +18,13 @@ Usage (tunnel must be up):
   timeout 3600 python probes/r3_cfg1_decomp.py 2>&1 | tee probes/out/r3_cfg1_decomp.log
 """
 
+import os
+import sys
 import time
+
+# Runnable as `python probes/r3_cfg1_decomp.py` (puts probes/ on sys.path,
+# not the repo root — the reason step 3b of the r3 session crashed).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
