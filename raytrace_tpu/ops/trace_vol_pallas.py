@@ -61,15 +61,15 @@ LANES = 128
 NB = _N // 8  # 32 bricks per side
 NUM_BRICKS = NB * NB * NB  # 32768
 DETAIL_WORDS = 512 // 32  # 16 i32 words of voxel bits per brick
-# 4-bit material palette codes per voxel ride the SAME detail row as the
-# occupancy bits (512 voxels / 8 nibbles per word).  The resolve row
-# gather is row-COUNT bound (~8 ns per GATHERED row, width-irrelevant —
-# docs/DESIGN.md), so the wider row is free and the hit material comes
-# out of the gather the resolve already does, replacing the full-batch
-# element gather over the 16.7M-texel volume (~3 ms at 512²).
-MAT_WORDS = 512 // 8
-PALETTE_SIZE = 16
-_NO_PALETTE = jnp.uint32(0xFFFFFFFF)  # > MATERIAL_MASK: can't be a texel
+# Detail rows are occupancy bits ONLY.  A round-2 experiment rode 4-bit
+# material palette codes on the same rows (64 extra words) on the theory
+# that row gathers are row-count bound; measured on hardware it was a
+# 3.5x config-1 regression — every round's full-batch resolve paid the
+# 5x-wider gather plus a 64-way strided word-select chain, ~+10 ms per
+# round at 512² (probes/out/r3_cfg1_decomp.log: flat 14.3 ms/round vs
+# ~4 pre-palette).  The hit material now comes from ONE end-of-trace
+# element gather over the fused volume (~3 ms at 512², paid once, not
+# per round).
 
 # Kernel statuses carried per lane (also the meta-word bit layout of the
 # wrapper: done | air<<1 | normal<<2 (3 bits) | parked<<5).
@@ -108,27 +108,11 @@ def _brick_major(x3):
     )
 
 
-def _detail_rows(solid3, codes3):
-    """Per-brick detail rows (occupancy bits + material-code nibbles)."""
-    occ = _pack_bits32(_brick_major(solid3).reshape(-1)).reshape(
+def _detail_rows(solid3):
+    """Per-brick detail rows (occupancy bits, 16 i32 words per brick)."""
+    return _pack_bits32(_brick_major(solid3).reshape(-1)).reshape(
         -1, DETAIL_WORDS
     )
-    cb = _brick_major(codes3).reshape(-1, 8)
-    shifts = (jnp.arange(8, dtype=jnp.uint32) * 4)[None, :]
-    matw = jnp.sum(cb << shifts, axis=1).astype(jnp.int32)
-    return jnp.concatenate([occ, matw.reshape(-1, MAT_WORDS)], axis=1)
-
-
-def _codes_for(palette, mats):
-    """4-bit palette codes for material words + exact-coverage flag."""
-    flat = mats.reshape(-1)
-    codes = jnp.clip(
-        jnp.searchsorted(palette, flat), 0, PALETTE_SIZE - 1
-    ).astype(jnp.uint32)
-    recon = jnp.zeros_like(flat)
-    for k in range(PALETTE_SIZE):  # select chain: a big gather is slow
-        recon = jnp.where(codes == k, palette[k], recon)
-    return codes.reshape(mats.shape), jnp.all(recon == flat)
 
 
 @jax.jit
@@ -142,16 +126,10 @@ def build_vol_tables(fused_flat: jax.Array) -> dict[str, jax.Array]:
       'any_hi' — (2, 128) i32; row 0 packs the 4096 16-level any bits
           (128 words); row 1 packs the 512 32-level bits (16 words, lanes
           0-15) and the 64 64-level bits (2 words, lanes 64-65);
-      'detail' — (32768, 16 + 64) i32 per-brick rows: words 0-15 are
-          voxel-solidity bits (bit v & 31 of word v >> 5 with
-          v = (lz<<6)|(ly<<3)|lx), words 16-79 are 4-bit material palette
-          codes (nibble v & 7 of word 16 + (v >> 3)); stays in HBM and is
-          row-gathered once per resolve by the XLA resolve step;
-      'palette' — (16,) uint32 sorted distinct material words (padded with
-          an impossible sentinel), 'pal_ok' — scalar bool, True when the
-          volume holds <= 16 distinct material words so the codes are
-          exact (always true for the reference's 7-material table; on
-          richer content the tracer falls back to the element gather).
+      'detail' — (32768, 16) i32 per-brick voxel-solidity rows (bit
+          v & 31 of word v >> 5 with v = (lz<<6)|(ly<<3)|lx); stays in
+          HBM and is row-gathered once per resolve by the XLA resolve
+          step.
 
     Rebuild whenever the whole volume changes; after a streamed 16-voxel
     slab write, prefer update_vol_tables (recomputes only the touched
@@ -168,23 +146,9 @@ def build_vol_tables(fused_flat: jax.Array) -> dict[str, jax.Array]:
     all8b = solid.reshape(NB, 8, NB, 8, NB, 8).all((1, 3, 5))
     t_any8, t_all8, hi = _pack_pyramid(any8b, all8b)
 
-    # Material palette: distinct material words of the whole volume (air's
-    # 0 sorts into slot 0; solid hits always map to slots >= 1 because the
-    # packed solid bit makes their word nonzero).  Candidate palette from a
-    # subsample (a full 16.7M unique-sort would cost tens of ms per
-    # rebuild), then verified EXACTLY against every voxel: a value the
-    # sample missed only flips pal_ok to the fallback gather, never
-    # corrupts a material.
-    mats = (fused_flat & jnp.uint32(MATERIAL_MASK)).astype(jnp.uint32)
-    sample = mats[::251]
-    uniq = jnp.unique(sample, size=PALETTE_SIZE + 1, fill_value=_NO_PALETTE)
-    palette = uniq[:PALETTE_SIZE]
-    codes, pal_ok = _codes_for(palette, mats)
-
-    detail = _detail_rows(solid, codes.reshape(_N, _N, _N))
+    detail = _detail_rows(solid)
     return {
         "any8": t_any8, "all8": t_all8, "any_hi": hi, "detail": detail,
-        "palette": palette, "pal_ok": pal_ok,
         "any8b": any8b, "all8b": all8b,
     }
 
@@ -199,10 +163,7 @@ def update_vol_tables(
     ``t`` along array axis ``arr_axis`` of the (z, y, x) volume
     (streaming._store_slab); only the two touched brick planes change, so
     recomputing them (1M voxels) beats the full 16.7M-voxel rebuild ~16x.
-    Matches build_vol_tables(new volume) bit-exactly on every table, with
-    one deliberate exception: the palette is NOT re-derived — new material
-    words outside it flip pal_ok False (exact fallback gather) until the
-    next full rebuild.
+    Matches build_vol_tables(new volume) bit-exactly on every table.
     """
     vol3 = fused_flat.reshape(_N, _N, _N)
     t = jnp.asarray(t, jnp.int32)
@@ -212,9 +173,6 @@ def update_vol_tables(
     sizes[arr_axis] = 16
     slab = jax.lax.dynamic_slice(vol3, starts, tuple(sizes))
     solid = ((slab >> STEP_SHIFT).astype(jnp.int32)) == 0
-    mats = (slab & jnp.uint32(MATERIAL_MASK)).astype(jnp.uint32)
-    palette = tables["palette"]
-    codes, slab_ok = _codes_for(palette, mats)
 
     bdims = tuple(s // 8 for s in sizes)
     pooled = solid.reshape(
@@ -228,17 +186,16 @@ def update_vol_tables(
     all8b = jax.lax.dynamic_update_slice(tables["all8b"], sf, bstarts)
     t_any8, t_all8, hi = _pack_pyramid(any8b, all8b)
 
-    rows = _detail_rows(solid, codes)
-    det4 = tables["detail"].reshape(NB, NB, NB, DETAIL_WORDS + MAT_WORDS)
+    rows = _detail_rows(solid)
+    det4 = tables["detail"].reshape(NB, NB, NB, DETAIL_WORDS)
     det4 = jax.lax.dynamic_update_slice(
         det4,
-        rows.reshape(bdims + (DETAIL_WORDS + MAT_WORDS,)),
+        rows.reshape(bdims + (DETAIL_WORDS,)),
         bstarts + [jnp.int32(0)],
     )
     return {
         "any8": t_any8, "all8": t_all8, "any_hi": hi,
-        "detail": det4.reshape(NUM_BRICKS, DETAIL_WORDS + MAT_WORDS),
-        "palette": palette, "pal_ok": tables["pal_ok"] & slab_ok,
+        "detail": det4.reshape(NUM_BRICKS, DETAIL_WORDS),
         "any8b": any8b, "all8b": all8b,
     }
 
@@ -522,12 +479,6 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
     round.
     """
     parked = (meta & _PARKED) != 0
-    # Kernel-direct hits (a fully-solid brick entered straight from the
-    # coarse pass) never march here, but their material code must still be
-    # extracted — include them in the row gather.  mcode 0 == unset: a
-    # solid hit's material word is nonzero, so its palette slot is >= 1
-    # (slot 0 is air's 0 word).
-    need_code = ((meta & (_DONE | _AIR)) == _DONE) & (((meta >> 6) & 15) == 0)
     lrf = lr.astype(jnp.float32)
 
     def brick_of(pxv, pyv, pzv):
@@ -540,9 +491,8 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
         return ((tz >> 3) * NB + (ty >> 3)) * NB + (tx >> 3), tx, ty, tz
 
     b0, _, _, _ = brick_of(px, py, pz)
-    b0 = jnp.where(parked | need_code, b0, 0)
-    # (n, 16+64) row gather — the only volume memory touch (occupancy bits
-    # + material palette nibbles; see build_vol_tables).
+    b0 = jnp.where(parked, b0, 0)
+    # (n, 16) row gather — the only volume memory touch.
     words = detail[b0]
 
     inv_len = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-20))
@@ -623,18 +573,6 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
     hit = parked & (s["status"] == 1)
     air = parked & (s["status"] == 3)
 
-    # Material palette code of the hit voxel, straight from the row this
-    # resolve already gathered (resolve hits landed inside brick b0 by
-    # construction; kernel-direct hits sit inside their fully-solid b0).
-    _, htx, hty, htz = brick_of(s["px"], s["py"], s["pz"])
-    hv = ((htz & 7) << 6) | ((hty & 7) << 3) | (htx & 7)
-    msel = hv >> 3
-    mword = jnp.zeros_like(hv)
-    for w in range(MAT_WORDS):
-        mword = jnp.where(msel == w, words[:, DETAIL_WORDS + w], mword)
-    mcode = (mword >> ((hv & 7) << 2)) & 15
-    set_code = hit | need_code
-
     new_meta = jnp.where(
         parked,
         jnp.where(
@@ -648,7 +586,6 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
         ),
         meta,
     )
-    new_meta = jnp.where(set_code, new_meta | (mcode << 6), new_meta)
     return (
         jnp.where(parked, s["px"], px),
         jnp.where(parked, s["py"], py),
@@ -675,31 +612,27 @@ def _resolve_maybe_compact(
     """resolve_mixed, but gathering only O(live) detail rows when few rays
     need it.
 
-    The full resolve's cost is bound by GATHERED-row count (~8 ns/row on
-    v5e regardless of row width, docs/DESIGN.md): it gathers one detail row
-    per ray every round while live counts collapse geometrically
-    (config 1 measured 152k -> 25k -> 472).  When at most ``cap`` rays are
-    parked or need a material code, an R-way SEGMENTED selection resolves a
+    The full resolve gathers one detail row per ray every round while live
+    counts collapse geometrically (config 1 measured 152k -> 25k -> 472),
+    and its in-register march runs over the full batch too.  When at most
+    ``cap`` rays are parked, an R-way SEGMENTED selection resolves a
     subset: slot j considers rays {j, j+S, j+2S, ...} (stride-S spreads the
     spatially clustered parks across slots) and takes the first candidate.
     Selection and merge-back are pure R-way vector selects — no index
     build, no sort, no scatter, no input gather; the only gather is the
     resolve's own S-row detail gather (S = n/R).  Slot collisions simply
     stay parked and drain in later rounds — the round loop keeps running
-    while any ray is live or (palette-exact volumes) any hit still awaits
-    its material code, and a kernel pass over parked rays re-parks them in
-    one step, so extra rounds are cheap.  Rounds with more than ``cap``
-    candidates (in practice only round 1) take the full-batch path via
-    lax.cond.
+    while any ray is live, and a kernel pass over parked rays re-parks
+    them in one step, so extra rounds are cheap.  Rounds with more than
+    ``cap`` candidates (in practice only round 1) take the full-batch path
+    via lax.cond.
     """
     n = px.shape[0]
-    need = ((meta & _PARKED) != 0) | (
-        ((meta & (_DONE | _AIR)) == _DONE) & (((meta >> 6) & 15) == 0)
-    )
+    need = (meta & _PARKED) != 0
     cnt = jnp.sum(need.astype(jnp.int32))
     R = _compact_segments(n, cap)
     S = n // R
-    inert = jnp.int32(_DONE | _AIR | (1 << 6))
+    inert = jnp.int32(_DONE | _AIR)
 
     def full(_):
         fx, fy, fz, _n, fm = resolve_mixed(
@@ -896,20 +829,7 @@ def trace_rays_vol(
     detail = tables["detail"]
 
     def round_cond(s):
-        live = jnp.any((s["meta"] & 1) == 0)
-        if compact_cap is not None:
-            # Segmented compaction can leave a kernel-direct hit waiting a
-            # round for its material code (slot collision).  Keep looping
-            # until codes drain — but only on palette-exact volumes, where
-            # a resolved hit's code is guaranteed nonzero (slot 0 is air);
-            # richer content takes the element-gather fallback anyway and
-            # must not spin the loop.
-            pending_code = tables["pal_ok"] & jnp.any(
-                ((s["meta"] & (_DONE | _AIR)) == _DONE)
-                & (((s["meta"] >> 6) & 15) == 0)
-            )
-            live = live | pending_code
-        return (s["r"] < rounds) & live
+        return (s["r"] < rounds) & jnp.any((s["meta"] & 1) == 0)
 
     def round_body(s):
         cx, cy, cz, cmeta = s["x"], s["y"], s["z"], s["meta"]
@@ -985,40 +905,20 @@ def trace_rays_vol(
     air = unflat((cmeta >> 1) & 1).astype(bool)
     done = unflat(cmeta & 1).astype(bool)
     hit = done & ~air
-    mcode = unflat((cmeta >> 6) & 15)
 
-    # Material at the hit voxel.  Fast path: the 4-bit palette code the
-    # resolve extracted from its own row gather, decoded against the
-    # <=16-entry palette (a short select chain) — no volume memory touch.
-    # Fallback (volume with >16 distinct material words, or a hit that
-    # somehow carries no code): ONE per-element toroidal gather over the
-    # fused volume.  lax.cond keeps the gather out of the common path.
+    # Material at the hit voxel: ONE per-element toroidal gather over the
+    # fused volume, paid once at the end of the trace (never per round —
+    # see the module header on the removed palette experiment).
     pos = jnp.stack([px, py, pz], axis=-1)
-    palette = tables["palette"]
-
-    def from_palette(_):
-        p = jnp.zeros(mcode.shape, jnp.uint32)
-        for k in range(PALETTE_SIZE):
-            p = jnp.where(mcode == k, palette[k], p)
-        return jnp.where(hit, p, 0)
-
-    def from_gather(_):
-        t = jnp.remainder(
-            jnp.floor(pos + jnp.float32(_HALF)).astype(jnp.int32), _N
-        )
-        lin = (t[..., 2] * _N + t[..., 1]) * _N + t[..., 0]
-        return jnp.where(
-            hit,
-            fused_flat[jnp.where(hit, lin, 0)] & jnp.uint32(MATERIAL_MASK),
-            0,
-        )
-
-    # Born-done rays (active=False) report done&~air with no code — their
-    # outputs are caller-masked by contract, so they must not force the
-    # fallback.
-    real_hit = hit if active is None else hit & active.reshape(shape)
-    pal_usable = tables["pal_ok"] & jnp.all(~real_hit | (mcode > 0))
-    packed = jax.lax.cond(pal_usable, from_palette, from_gather, 0)
+    t = jnp.remainder(
+        jnp.floor(pos + jnp.float32(_HALF)).astype(jnp.int32), _N
+    )
+    lin = (t[..., 2] * _N + t[..., 1]) * _N + t[..., 0]
+    packed = jnp.where(
+        hit,
+        fused_flat[jnp.where(hit, lin, 0)] & jnp.uint32(MATERIAL_MASK),
+        0,
+    )
 
     from . import shading
 

@@ -346,26 +346,12 @@ def test_pyramid_table_invariants():
     np.testing.assert_array_equal(
         any16, solid.reshape(16, 16, 16, 16, 16, 16).any((1, 3, 5))
     )
-    # Detail rows: words 0-15 (occupancy bits) reconstruct the exact voxel
-    # grid; words 16-79 (4-bit palette codes) reconstruct the exact
-    # material word of every voxel through the palette.
+    # Detail rows (occupancy bits) reconstruct the exact voxel grid.
     det = np.asarray(t["detail"])
-    occ = det[:, :16]
-    bits = ((occ.reshape(-1)[:, None] >> np.arange(32)[None, :]) & 1).astype(bool)
+    bits = ((det.reshape(-1)[:, None] >> np.arange(32)[None, :]) & 1).astype(bool)
     vox = bits.reshape(32, 32, 32, 8, 8, 8)  # (bz,by,bx,lz,ly,lx)
     vox = vox.transpose(0, 3, 1, 4, 2, 5).reshape(256, 256, 256)
     np.testing.assert_array_equal(vox, solid)
-
-    assert bool(t["pal_ok"])
-    matw = det[:, 16:].astype(np.uint32)
-    nib = (matw.reshape(-1)[:, None] >> (4 * np.arange(8)[None, :])) & 15
-    codes = nib.reshape(32, 32, 32, 8, 8, 8).transpose(0, 3, 1, 4, 2, 5)
-    codes = codes.reshape(256, 256, 256)
-    palette = np.asarray(t["palette"])
-    from raytrace_tpu.ops.trace_jax import MATERIAL_MASK
-
-    want_mats = (np.asarray(fused).reshape(256, 256, 256) & MATERIAL_MASK)
-    np.testing.assert_array_equal(palette[codes], want_mats.astype(np.uint32))
 
 
 @pytest.mark.slow
@@ -386,26 +372,42 @@ def test_pathological_content_reports_exhausted():
     assert np.isfinite(np.asarray(got["position"])).all()
 
 
-def test_palette_path_matches_gather_path(weird_world):
-    """The palette material decode must be bit-identical to the element
-    gather it replaces (trace_rays_vol's lax.cond fallback)."""
+def test_hit_albedo_matches_volume_material(weird_world):
+    """The end-of-trace material gather must return exactly the hit voxel's
+    packed albedo bits from the fused volume (toroidal addressing)."""
     fused, tables = weird_world
-    assert bool(np.asarray(tables["pal_ok"]))
     o, d = _cam_rays((0.0, 0.0, 120.0), -0.6)
-    got_pal = trace_rays_vol(tables, fused, o, d, LR, interpret=True)
-    forced = dict(tables, pal_ok=jnp.asarray(False))
-    got_gat = trace_rays_vol(forced, fused, o, d, LR, interpret=True)
-    hit = ~np.asarray(got_pal["air"])
+    got = trace_rays_vol(tables, fused, o, d, LR, interpret=True)
+    hit = ~np.asarray(got["air"])
     assert hit.any()
-    np.testing.assert_array_equal(
-        np.asarray(got_pal["albedo"]), np.asarray(got_gat["albedo"])
+    vol = np.asarray(fused).reshape(256, 256, 256)
+    pos = np.asarray(got["position"])[hit]
+    # Undo the 0.001 normal nudge to land inside the hit voxel.
+    from raytrace_tpu.ops import shading
+
+    nrm = np.asarray(got["normal"])[hit]
+    nx, ny, nz = shading.face_normal_vector(np, nrm)
+    pos = pos - 0.001 * np.stack([nx, ny, nz], axis=-1)
+    t = np.floor(pos + 128.0).astype(np.int64) % 256
+    packed = vol[t[:, 2], t[:, 1], t[:, 0]]
+    from raytrace_tpu.ops.trace_jax import MATERIAL_MASK
+
+    want = np.stack(
+        [
+            ((packed & MATERIAL_MASK) >> 14) & 0x7F,
+            ((packed & MATERIAL_MASK) >> 7) & 0x7F,
+            (packed & MATERIAL_MASK) & 0x7F,
+        ],
+        axis=-1,
+    ).astype(np.float32) / 127.0
+    np.testing.assert_allclose(
+        np.asarray(got["albedo"])[hit], want, atol=1e-6
     )
 
 
 def test_update_vol_tables_matches_full_rebuild(weird_world):
     """After a 16-thick slab write, the incremental table update must equal
-    a full rebuild bit-for-bit on every table (pal_ok included, content
-    drawn from the existing palette)."""
+    a full rebuild bit-for-bit on every table."""
     from raytrace_tpu.ops.trace_vol_pallas import update_vol_tables
 
     fused, tables = weird_world
@@ -414,8 +416,7 @@ def test_update_vol_tables_matches_full_rebuild(weird_world):
     for arr_axis, t0 in ((0, 32), (1, 240), (2, 0)):
         sl = [slice(None)] * 3
         sl[arr_axis] = slice(t0, t0 + 16)
-        # New content using existing material words (palette stays valid):
-        # zero 30% of the slab's words (word 0 is in every palette).
+        # New content: zero 30% of the slab's words.
         region = vol3[tuple(sl)]
         mask = rng.random(region.shape) < 0.3
         vol3[tuple(sl)] = np.where(mask, 0, region)
