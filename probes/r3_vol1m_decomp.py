@@ -27,7 +27,6 @@ import jax.numpy as jnp
 from raytrace_tpu.ops.trace_jax import camera_rays, fuse_volume
 from raytrace_tpu.ops.trace_vol_pallas import build_vol_tables, trace_rays_vol
 from raytrace_tpu.render.camera import Camera
-from raytrace_tpu.apps.benchmark import _uniforms
 
 W = H = 1024
 N_TRAIN = 10
@@ -56,16 +55,12 @@ def main():
     p = Pipeline(width=W, height=H, tracer="volume_fast")
     cam = Camera(origin=[-30.0, -100.0, 60.0])
     cam.heading, cam.pitch = 0.8, -0.3
-    for _ in range(8):
-        moved = p.streamer.request_move_towards(
-            jnp.asarray(cam.origin, jnp.float32)
-        )
-        if not moved:
-            break
+    p.converge_streaming((cam.origin[0], 0, cam.origin[2]), max_moves=24)
+    p.fill_uniforms(cam, 0.6, bump_seed=False)
     fused = p.streamer.volume
     tables = build_vol_tables(fused)
-    lr = p.streamer.lr.astype(jnp.int32)
-    uni = dict(_uniforms(cam), lr=lr)
+    uni = p.uniforms.as_device_dict()
+    lr = uni["lr"].astype(jnp.int32)
 
     def rays(t):
         u = dict(uni, origin=uni["origin"] + t * jnp.asarray([1.0, 1.0, 0.0]))
@@ -106,9 +101,9 @@ def main():
 
     def diffuse(t):
         i = jnp.arange(W * H, dtype=jnp.uint32)
-        h = (i * 2654435761 + (t * 1e4).astype(jnp.uint32)) & 0xFFFF
+        h = (i * jnp.uint32(2654435761) + (t * 1e4).astype(jnp.uint32)) & jnp.uint32(0xFFFF)
         a = h.astype(jnp.float32) * (6.2832 / 65536.0)
-        b = ((i * 40503) & 0xFFFF).astype(jnp.float32) * (3.1416 / 65536.0)
+        b = ((i * jnp.uint32(40503)) & jnp.uint32(0xFFFF)).astype(jnp.float32) * (3.1416 / 65536.0)
         d = jnp.stack(
             [jnp.cos(a) * jnp.sin(b), jnp.sin(a) * jnp.sin(b), jnp.cos(b)],
             axis=-1,

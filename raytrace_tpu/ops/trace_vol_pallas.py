@@ -29,9 +29,10 @@ Architecture (TPU-first, not a port):
     through the brick in registers (<= 22 crossings).  Rays that exit
     unhit resume the kernel; ``trace_rays_vol`` alternates kernel passes
     and resolves inside a lax.while_loop that exits as soon as no ray is
-    live.  Ray order is preserved throughout — no compaction sorts (the
-    heightfield cascade's sorts were measured a wash here: all-done tiles
-    exit the kernel loop at the first check anyway).
+    live, and a straggler cascade (2 full-width rounds, then live-first
+    partitions shrinking the batch to 1/2 -> 1/4 -> 1/8 width,
+    trace_pallas.COMPACT_CAPS style) keeps grazing rays from billing
+    every round at full width.
 
 Hit semantics (positions, face normals, the 1e-4 boundary epsilon, the
 0.001 hit nudge, out-of-bounds => sky, toroidal texel = (world + 128) mod
@@ -466,7 +467,8 @@ def _make_vol_kernel(tile_rows: int, max_steps: int, unroll: int = 2):
 # ---------------------------------------------------------------------------
 
 
-def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
+def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr,
+                  sub_bricks: int = 1):
     """March parked rays through their mixed brick's voxel bits.
 
     One row gather pulls each parked ray's 16-word brick mask; a fixed-trip
@@ -477,6 +479,17 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
     an out-of-bounds exit sets done|air, and an unhit brick exit leaves the
     ray live at the eps-past-the-wall resume point for the next kernel
     round.
+
+    ``sub_bricks`` > 1 continues through up to that many consecutive
+    bricks in ONE resolve — a fresh row gather per brick.  A ray skimming
+    a bumpy surface parks at every mixed brick along its path, and one
+    round per brick is what made diffuse bounce legs cost ~19 full-width
+    rounds (probes/out/r3_vol1m_b.log); K bricks per resolve divides the
+    round count by ~K for one extra gather each.  The gathered row also
+    classifies the brick for free: an all-solid row hits at the entry
+    voxel immediately (first march test), and an EMPTY row takes one
+    8-aligned step spanning the whole brick (the per-lane step_f below),
+    so continuation bricks of any kind cost <= a march.
     """
     parked = (meta & _PARKED) != 0
     lrf = lr.astype(jnp.float32)
@@ -489,11 +502,6 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
         ty = (yi + _HALF) & (_N - 1)
         tz = (zi + _HALF) & (_N - 1)
         return ((tz >> 3) * NB + (ty >> 3)) * NB + (tx >> 3), tx, ty, tz
-
-    b0, _, _, _ = brick_of(px, py, pz)
-    b0 = jnp.where(parked, b0, 0)
-    # (n, 16) row gather — the only volume memory touch.
-    words = detail[b0]
 
     inv_len = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-20))
     dxv, dyv, dzv = dx * inv_len, dy * inv_len, dz * inv_len
@@ -516,8 +524,7 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
         )
 
     # status: 0 live-in-brick, 1 hit, 2 exited brick, 3 exited out of bounds
-    state = dict(
-        i=jnp.int32(0),
+    s = dict(
         px=px,
         py=py,
         pz=pz,
@@ -525,47 +532,79 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
         status=jnp.where(parked, jnp.int32(0), jnp.int32(2)),
     )
 
-    def cond(s):
-        return (s["i"] < 23) & jnp.any(parked & (s["status"] == 0))
+    for k in range(sub_bricks):
+        if k > 0:
+            # Unhit brick exits continue into the next brick this same
+            # resolve; only the last sub-brick's exits return to the
+            # kernel (non-parked rays hold status 2 but are excluded).
+            s["status"] = jnp.where(
+                parked & (s["status"] == 2), jnp.int32(0), s["status"]
+            )
 
-    def body(s):
-        act = parked & (s["status"] == 0)
-        b_now, tx, ty, tz = brick_of(s["px"], s["py"], s["pz"])
-        oob = oob_of(s["px"], s["py"], s["pz"])
-        inside = (b_now == b0) & ~oob
-        status = jnp.where(act & oob, jnp.int32(3), s["status"])
-        status = jnp.where(act & ~inside & ~oob, jnp.int32(2), status)
-        act = act & inside
+        need = parked & (s["status"] == 0)
+        # A continuation position may already be out of the window.
+        oob0 = oob_of(s["px"], s["py"], s["pz"])
+        s["status"] = jnp.where(need & oob0, jnp.int32(3), s["status"])
+        need = need & ~oob0
 
-        v = ((tz & 7) << 6) | ((ty & 7) << 3) | (tx & 7)
-        wsel = v >> 5  # occupancy word index 0..15
-        word = jnp.zeros_like(v)
-        for w in range(DETAIL_WORDS):
-            word = jnp.where(wsel == w, words[:, w], word)
-        solid = ((word >> (v & 31)) & 1) == 1
-        hit = act & solid
-        status = jnp.where(hit, jnp.int32(1), status)
-        move = act & ~hit
+        b0, _, _, _ = brick_of(s["px"], s["py"], s["pz"])
+        b0 = jnp.where(need, b0, 0)
+        # (n, 16) row gather — the only volume memory touch.
+        words = detail[b0]
+        row_or = words[:, 0]
+        for w in range(1, DETAIL_WORDS):
+            row_or = row_or | words[:, w]
+        # Empty brick: no voxel can hit, so one 8-aligned step (the
+        # kernel's base skip) crosses it; the march below then exits it
+        # on its first classification.  Non-empty bricks march per voxel.
+        step_f = jnp.where(row_or == 0, jnp.float32(8.0), jnp.float32(1.0))
 
-        one = jnp.float32(1.0)
-        lx = (eps + jnp.mod((s["px"] + jnp.float32(_HALF)) * mulx, one)) * lpx
-        ly = (eps + jnp.mod((s["py"] + jnp.float32(_HALF)) * muly, one)) * lpy
-        lz = (eps + jnp.mod((s["pz"] + jnp.float32(_HALF)) * mulz, one)) * lpz
-        use_x = (lx < ly) & (lx < lz)
-        use_y = ~(lx < ly) & (ly < lz)
-        lmin = jnp.where(use_x, lx, jnp.where(use_y, ly, lz))
-        nrm = jnp.where(use_x, nx_id, jnp.where(use_y, ny_id, nz_id))
+        state = dict(i=jnp.int32(0), **s)
 
-        return dict(
-            i=s["i"] + 1,
-            px=jnp.where(move, s["px"] + dxv * lmin, s["px"]),
-            py=jnp.where(move, s["py"] + dyv * lmin, s["py"]),
-            pz=jnp.where(move, s["pz"] + dzv * lmin, s["pz"]),
-            normal=jnp.where(move, nrm, s["normal"]),
-            status=status,
-        )
+        def cond(st):
+            return (st["i"] < 23) & jnp.any(parked & (st["status"] == 0))
 
-    s = jax.lax.while_loop(cond, body, state)
+        def body(st, b0=b0, words=words, step_f=step_f, need=need):
+            act = need & (st["status"] == 0)
+            b_now, tx, ty, tz = brick_of(st["px"], st["py"], st["pz"])
+            oob = oob_of(st["px"], st["py"], st["pz"])
+            inside = (b_now == b0) & ~oob
+            status = jnp.where(act & oob, jnp.int32(3), st["status"])
+            status = jnp.where(act & ~inside & ~oob, jnp.int32(2), status)
+            act = act & inside
+
+            v = ((tz & 7) << 6) | ((ty & 7) << 3) | (tx & 7)
+            wsel = v >> 5  # occupancy word index 0..15
+            word = jnp.zeros_like(v)
+            for w in range(DETAIL_WORDS):
+                word = jnp.where(wsel == w, words[:, w], word)
+            solid = ((word >> (v & 31)) & 1) == 1
+            hit = act & solid
+            status = jnp.where(hit, jnp.int32(1), status)
+            move = act & ~hit
+
+            lx = (eps + jnp.mod(
+                (st["px"] + jnp.float32(_HALF)) * mulx, step_f)) * lpx
+            ly = (eps + jnp.mod(
+                (st["py"] + jnp.float32(_HALF)) * muly, step_f)) * lpy
+            lz = (eps + jnp.mod(
+                (st["pz"] + jnp.float32(_HALF)) * mulz, step_f)) * lpz
+            use_x = (lx < ly) & (lx < lz)
+            use_y = ~(lx < ly) & (ly < lz)
+            lmin = jnp.where(use_x, lx, jnp.where(use_y, ly, lz))
+            nrm = jnp.where(use_x, nx_id, jnp.where(use_y, ny_id, nz_id))
+
+            return dict(
+                i=st["i"] + 1,
+                px=jnp.where(move, st["px"] + dxv * lmin, st["px"]),
+                py=jnp.where(move, st["py"] + dyv * lmin, st["py"]),
+                pz=jnp.where(move, st["pz"] + dzv * lmin, st["pz"]),
+                normal=jnp.where(move, nrm, st["normal"]),
+                status=status,
+            )
+
+        out = jax.lax.while_loop(cond, body, state)
+        s = {key: out[key] for key in ("px", "py", "pz", "normal", "status")}
 
     # Fold resolve results back into the meta word.  Rays still status-0
     # after 23 crossings cannot exist geometrically; treat as exited (the
@@ -607,7 +646,8 @@ def _compact_segments(n: int, cap: int) -> int:
 
 
 def _resolve_maybe_compact(
-    detail, px, py, pz, dx, dy, dz, meta, lr, cap: int
+    detail, px, py, pz, dx, dy, dz, meta, lr, cap: int,
+    sub_bricks: int = 1,
 ):
     """resolve_mixed, but gathering only O(live) detail rows when few rays
     need it.
@@ -636,7 +676,8 @@ def _resolve_maybe_compact(
 
     def full(_):
         fx, fy, fz, _n, fm = resolve_mixed(
-            detail, px, py, pz, dx, dy, dz, (meta >> 2) & 7, meta, lr
+            detail, px, py, pz, dx, dy, dz, (meta >> 2) & 7, meta, lr,
+            sub_bricks=sub_bricks,
         )
         return fx, fy, fz, fm
 
@@ -658,7 +699,7 @@ def _resolve_maybe_compact(
         smeta = jnp.where(got, pick(mview), inert)
         rx, ry, rz, _n2, rm = resolve_mixed(
             detail, spx, spy, spz, sdx, sdy, sdz, (smeta >> 2) & 7,
-            smeta, lr,
+            smeta, lr, sub_bricks=sub_bricks,
         )
 
         def put(v, r):
@@ -689,7 +730,7 @@ def _resolve_maybe_compact(
     jax.jit,
     static_argnames=(
         "max_steps", "tile_rows", "interpret", "rounds", "cap",
-        "compact_cap"
+        "compact_cap", "cascade", "sub_bricks"
     ),
 )
 def trace_rays_vol(
@@ -707,6 +748,8 @@ def trace_rays_vol(
     compact_cap: int | None = None,
     escape: bool = True,
     approach_jump: bool = False,
+    cascade: bool | None = None,
+    sub_bricks: int | None = None,
 ) -> dict[str, jax.Array]:
     """General-volume trace; drop-in for trace_jax.trace_rays.
 
@@ -718,10 +761,29 @@ def trace_rays_vol(
     world-like scenes pay for 2-3 iterations (measured: per-round cost is
     dominated by the full-batch row gather, so early exit is the whole
     ballgame), and content where a grazing ray skims many mixed bricks
-    still terminates.  Rays live after ``rounds`` rounds report
+    still terminates.  Rays live after the round budget report
     ``exhausted`` (the REPORT_ERROR pink-pixel analog, raytrace.comp:5-7).
-    Ray order is preserved throughout — no compaction sorts; finished
-    tiles exit the kernel at the first all-done check instead.
+
+    ``cascade`` (None = auto: on when rounds >= 12 and the batch spans
+    >= 16 tiles) enables the straggler cascade: 2 full-width rounds,
+    then stable live-first partitions shrinking the live batch to 1/2
+    (3 rounds), 1/4 (4 rounds), and 1/8 width (remaining budget), a
+    full-width safety loop (zero rounds unless a level's live fraction
+    exceeded its width), and a final sort restoring ray order.  The
+    level widths hold the measured diffuse-leg live curve (58/29/17/9%
+    after rounds 1/2/3/5) with ~2x slack.  Grazing rays park at every
+    surface brick they skim — ~1 round per brick — and without the
+    cascade every such round costs full width (measured 248 ms for a
+    1M-ray diffuse leg vs 44 ms primary).  Results are bit-identical:
+    the marches are memoryless in (position, direction), only the batch
+    layout between rounds changes.
+
+    ``sub_bricks`` (default 1) lets one resolve continue through up to K
+    consecutive bricks (fresh gather per brick; empty continuation
+    bricks cross in one 8-step, all-solid ones hit at entry).  Default
+    off: on terrain the kernel already crosses the empty gaps between
+    mixed bricks within the same round, so K > 1 mostly re-buys gathers;
+    it pays on content whose mixed bricks form dense consecutive runs.
 
     ``max_steps`` bounds the total march budget like the reference's
     2048-step limit (raytrace.comp:109): when ``rounds`` is not given it is
@@ -803,97 +865,203 @@ def trace_rays_vol(
     table_spec = lambda t: pl.BlockSpec(
         t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
-    outf = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
-    outi = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
-
-    def run_pass(ox, oy, oz, dxx, dyy, dzz, n0):
-        kernel = _make_vol_kernel(tile_rows, cap)
-        return pl.pallas_call(
-            kernel,
-            grid=(grid,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [ray_spec] * 7
-            + [
-                table_spec(tables["any8"]),
-                table_spec(tables["all8"]),
-                table_spec(tables["any_hi"]),
-            ],
-            out_specs=[ray_spec] * 5,
-            out_shape=[outf, outf, outf, outi, outi],
-            interpret=interpret,
-        )(
-            iscal, ox, oy, oz, dxx, dyy, dzz, n0,
-            tables["any8"], tables["all8"], tables["any_hi"],
-        )
-
     detail = tables["detail"]
 
-    def round_cond(s):
-        return (s["r"] < rounds) & jnp.any((s["meta"] & 1) == 0)
+    def run_rounds(bx, by, bz, bdx, bdy, bdz, bmeta, budget):
+        """The kernel/resolve round loop over (rows_l, LANES) views.
 
-    def round_body(s):
-        cx, cy, cz, cmeta = s["x"], s["y"], s["z"], s["meta"]
-        fin = (cmeta & 1) == 1
-        iz = jnp.where(fin, jnp.float32(1e9), cz)
-        idz = jnp.where(fin, jnp.float32(1.0), cdz)
-        px, py, pz, nrm, status = run_pass(
-            cx, cy, iz, cdx, cdy, idz, (cmeta >> 2) & 7
-        )
-        meta_new = jnp.where(
-            status == 0,
-            # Kernel step budget exhausted mid-flight: stay live with the
-            # current resume state (counts against the round budget).
-            (nrm & 7) << 2,
-            ((nrm & 7) << 2) | status,
-        )
-        cx = jnp.where(fin, cx, px)
-        cy = jnp.where(fin, cy, py)
-        cz = jnp.where(fin, cz, pz)
-        cmeta = jnp.where(fin, cmeta, meta_new)
+        Width-generic so the straggler cascade below can run late rounds
+        on a sliced prefix: every full-batch cost inside (kernel grid,
+        row gather, resolve march) scales with rows_l.
+        """
+        rows_l = bx.shape[0]
+        grid_l = rows_l // tile_rows
+        n_l = rows_l * LANES
+        outf = jax.ShapeDtypeStruct((rows_l, LANES), jnp.float32)
+        outi = jax.ShapeDtypeStruct((rows_l, LANES), jnp.int32)
 
-        # Resolve this round's mixed-brick parks (flat views).  With a
-        # compact_cap, late rounds (few live rays) gather O(live) detail
-        # rows instead of O(N) — see _resolve_maybe_compact.
-        if compact_cap is not None:
-            fx, fy, fz, fmeta = _resolve_maybe_compact(
-                detail,
-                cx.reshape(n_pad),
-                cy.reshape(n_pad),
-                cz.reshape(n_pad),
-                cdx.reshape(n_pad),
-                cdy.reshape(n_pad),
-                cdz.reshape(n_pad),
-                cmeta.reshape(n_pad),
-                lri,
-                compact_cap,
+        def run_pass(ox, oy, oz, dxx, dyy, dzz, n0):
+            kernel = _make_vol_kernel(tile_rows, cap)
+            return pl.pallas_call(
+                kernel,
+                grid=(grid_l,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + [ray_spec] * 7
+                + [
+                    table_spec(tables["any8"]),
+                    table_spec(tables["all8"]),
+                    table_spec(tables["any_hi"]),
+                ],
+                out_specs=[ray_spec] * 5,
+                out_shape=[outf, outf, outf, outi, outi],
+                interpret=interpret,
+            )(
+                iscal, ox, oy, oz, dxx, dyy, dzz, n0,
+                tables["any8"], tables["all8"], tables["any_hi"],
             )
-        else:
-            fx, fy, fz, _, fmeta = resolve_mixed(
-                detail,
-                cx.reshape(n_pad),
-                cy.reshape(n_pad),
-                cz.reshape(n_pad),
-                cdx.reshape(n_pad),
-                cdy.reshape(n_pad),
-                cdz.reshape(n_pad),
-                (cmeta.reshape(n_pad) >> 2) & 7,
-                cmeta.reshape(n_pad),
-                lri,
+
+        def round_cond(s):
+            return (s["r"] < budget) & jnp.any((s["meta"] & 1) == 0)
+
+        def round_body(s):
+            cx, cy, cz, cmeta = s["x"], s["y"], s["z"], s["meta"]
+            fin = (cmeta & 1) == 1
+            iz = jnp.where(fin, jnp.float32(1e9), cz)
+            idz = jnp.where(fin, jnp.float32(1.0), bdz)
+            px, py, pz, nrm, status = run_pass(
+                cx, cy, iz, bdx, bdy, idz, (cmeta >> 2) & 7
             )
-        return dict(
-            r=s["r"] + 1,
-            x=fx.reshape(rows, LANES),
-            y=fy.reshape(rows, LANES),
-            z=fz.reshape(rows, LANES),
-            meta=fmeta.reshape(rows, LANES),
+            meta_new = jnp.where(
+                status == 0,
+                # Kernel step budget exhausted mid-flight: stay live with
+                # the current resume state (counts against the budget).
+                (nrm & 7) << 2,
+                ((nrm & 7) << 2) | status,
+            )
+            cx = jnp.where(fin, cx, px)
+            cy = jnp.where(fin, cy, py)
+            cz = jnp.where(fin, cz, pz)
+            cmeta = jnp.where(fin, cmeta, meta_new)
+
+            # Resolve this round's mixed-brick parks (flat views).
+            if compact_cap is not None:
+                fx, fy, fz, fmeta = _resolve_maybe_compact(
+                    detail,
+                    cx.reshape(n_l),
+                    cy.reshape(n_l),
+                    cz.reshape(n_l),
+                    bdx.reshape(n_l),
+                    bdy.reshape(n_l),
+                    bdz.reshape(n_l),
+                    cmeta.reshape(n_l),
+                    lri,
+                    compact_cap,
+                    sub_bricks=sub_bricks,
+                )
+            else:
+                fx, fy, fz, _, fmeta = resolve_mixed(
+                    detail,
+                    cx.reshape(n_l),
+                    cy.reshape(n_l),
+                    cz.reshape(n_l),
+                    bdx.reshape(n_l),
+                    bdy.reshape(n_l),
+                    bdz.reshape(n_l),
+                    (cmeta.reshape(n_l) >> 2) & 7,
+                    cmeta.reshape(n_l),
+                    lri,
+                    sub_bricks=sub_bricks,
+                )
+            return dict(
+                r=s["r"] + 1,
+                x=fx.reshape(rows_l, LANES),
+                y=fy.reshape(rows_l, LANES),
+                z=fz.reshape(rows_l, LANES),
+                meta=fmeta.reshape(rows_l, LANES),
+            )
+
+        s = jax.lax.while_loop(
+            round_cond,
+            round_body,
+            dict(r=jnp.int32(0), x=bx, y=by, z=bz, meta=bmeta),
+        )
+        return s["x"], s["y"], s["z"], s["meta"]
+
+    if sub_bricks is None:
+        # Default 1: on terrain-like content, mixed bricks along a ray are
+        # interspersed with empty gaps the KERNEL already crosses within
+        # the same round, so a K-brick resolve continuation mostly re-buys
+        # gathers the kernel gets for free (measured: no round-count win
+        # on diffuse legs, and each continuation gather costs full width).
+        # K > 1 pays only on content whose mixed bricks come in dense
+        # consecutive runs (deep caves, fully rough volumes).
+        sub_bricks = 1
+    if cascade is None:
+        # Stragglers matter when the budget allows many rounds and the
+        # batch is big enough that full-width rounds dwarf the two sorts.
+        # Measured (probes/out/r3_cascade.log): 1M-ray sun leg 107 -> 44 ms;
+        # config 1 (rounds=11, exits by round ~4) 22.2 -> 19.9 — hence the
+        # >= 12 gate keeps short-budget traces on the plain loop.
+        cascade = rounds >= 12 and grid >= 16
+    if cascade:
+        # Straggler cascade (the vol-path analog of trace_pallas
+        # COMPACT_CAPS).  Measured live fractions on a 1M-ray diffuse
+        # bounce leg (generated world; brick-walk simulation matching
+        # probes/r3_live_curve.py): 58% after round 1, 28.6% after 2,
+        # 16.8% after 3, ~9% after 5, ~2.6% after 12 — a fat, slowly
+        # decaying tail, and every round bills the FULL batch (248 ms
+        # converged vs 44 ms for the primary leg).  So: run 2 rounds at
+        # full width, then repeatedly stable-partition live rays to the
+        # front (single i32 key, done last; later sorts touch only the
+        # current prefix) and continue at 1/2, then 1/4, then 1/8 width —
+        # each level's width chosen to hold the measured live fraction
+        # with ~2x slack.  A final full-width safety loop covers any rays
+        # left beyond a prefix (live fraction above a level's width); it
+        # executes zero rounds otherwise and shares the full-width kernel
+        # binary.  One more sort restores ray order; results are
+        # bit-identical to the plain loop (marches are memoryless in
+        # position/direction, only batch layout changes).
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (rows, LANES), 0
+        ) * LANES + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+
+        cidx = iota
+        sdx, sdy, sdz = cdx, cdy, cdz
+        cx, cy, cz, cmeta = run_rounds(
+            cx, cy, cz, sdx, sdy, sdz, cmeta, min(2, rounds)
         )
 
-    s = jax.lax.while_loop(
-        round_cond,
-        round_body,
-        dict(r=jnp.int32(0), x=cx, y=cy, z=cz, meta=cmeta),
-    )
-    cx, cy, cz, cmeta = s["x"], s["y"], s["z"], s["meta"]
+        pr = rows  # current prefix (rows); shrinks per level
+        for budget, div in ((3, 2), (4, 4), (rounds, 8)):
+            new_pr = max(1, grid // div) * tile_rows
+            if new_pr >= pr:
+                continue
+            # Stable live-first partition of the current prefix only.
+            m = pr * LANES
+            key = (cmeta[:pr] & 1) * jnp.int32(m) + iota[:pr]
+            out = jax.lax.sort(
+                (key.reshape(m),)
+                + tuple(
+                    a[:pr].reshape(m)
+                    for a in (cx, cy, cz, sdx, sdy, sdz, cmeta, cidx)
+                ),
+                num_keys=1,
+            )
+            px_, py_, pz_, dx_, dy_, dz_, me_, id_ = (
+                a.reshape(pr, LANES) for a in out[1:]
+            )
+            cx = cx.at[:pr].set(px_)
+            cy = cy.at[:pr].set(py_)
+            cz = cz.at[:pr].set(pz_)
+            sdx = sdx.at[:pr].set(dx_)
+            sdy = sdy.at[:pr].set(dy_)
+            sdz = sdz.at[:pr].set(dz_)
+            cmeta = cmeta.at[:pr].set(me_)
+            cidx = cidx.at[:pr].set(id_)
+            pr = new_pr
+            bx, by, bz, bmeta = run_rounds(
+                cx[:pr], cy[:pr], cz[:pr],
+                sdx[:pr], sdy[:pr], sdz[:pr], cmeta[:pr], budget,
+            )
+            cx = cx.at[:pr].set(bx)
+            cy = cy.at[:pr].set(by)
+            cz = cz.at[:pr].set(bz)
+            cmeta = cmeta.at[:pr].set(bmeta)
+
+        # Safety: any live ray left beyond a prefix finishes here.
+        cx, cy, cz, cmeta = run_rounds(
+            cx, cy, cz, sdx, sdy, sdz, cmeta, rounds
+        )
+        out = jax.lax.sort(
+            (cidx.reshape(n_pad),)
+            + tuple(a.reshape(n_pad) for a in (cx, cy, cz, cmeta)),
+            num_keys=1,
+        )
+        cx, cy, cz, cmeta = (a.reshape(rows, LANES) for a in out[1:])
+    else:
+        cx, cy, cz, cmeta = run_rounds(
+            cx, cy, cz, cdx, cdy, cdz, cmeta, rounds
+        )
 
     def unflat(x):
         return x.reshape(n_pad)[:n].reshape(shape)
@@ -947,7 +1115,7 @@ def trace_rays_vol(
     jax.jit,
     static_argnames=(
         "width", "height", "max_steps", "rows", "interpret", "bounces",
-        "compact_cap",
+        "compact_cap", "cascade",
     ),
 )
 def render_gbuffers_vol(
@@ -965,15 +1133,16 @@ def render_gbuffers_vol(
     compact_cap: int | None = None,
     escape: bool = True,
     approach_jump: bool = False,
+    cascade: bool | None = None,
 ) -> dict[str, jax.Array]:
     """G-buffers via the fast general-volume tracer.
 
     Same lighting integration as the other tracers (trace_jax
     integrate_gbuffers) with trace_rays_vol plugged in; renders arbitrary
     volume content (preloaded/edited worlds) at brick-pyramid speed.
-    compact_cap, escape, and approach_jump forward to trace_rays_vol
-    (O(live) late-round resolves; occupancy-bounds sky completion;
-    one-step empty-gap traversal).
+    compact_cap, escape, approach_jump, and cascade forward to
+    trace_rays_vol (segmented late-round resolves; occupancy-bounds sky
+    completion; one-step empty-gap traversal; straggler cascade).
     """
     from .trace_jax import integrate_gbuffers
 
@@ -983,7 +1152,7 @@ def render_gbuffers_vol(
         return trace_rays_vol(
             tables, fused_flat, o, d, lr_i, max_steps=max_steps,
             interpret=interpret, active=active, compact_cap=compact_cap,
-            escape=escape, approach_jump=approach_jump,
+            escape=escape, approach_jump=approach_jump, cascade=cascade,
         )
 
     return integrate_gbuffers(

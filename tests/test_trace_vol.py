@@ -163,6 +163,105 @@ def test_compact_resolve_with_active_mask(weird_world):
         np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(ref[k]), err_msg=k)
 
 
+def test_straggler_cascade_bit_identical(weird_world):
+    """The straggler cascade (2 full-width rounds -> live-first partition
+    -> quarter-width remainder -> safety loop -> order-restoring sort)
+    must be bit-identical to the plain round loop: the marches are
+    memoryless in (position, direction), only batch layout changes."""
+    fused, tables = weird_world
+    rng = np.random.default_rng(11)
+    n = 5 * 2048  # several tiles so the quarter-width prefix is a real slice
+    o = np.stack(
+        [
+            rng.uniform(-110, 110, n),
+            rng.uniform(-110, 110, n),
+            rng.uniform(30, 120, n),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    plain = trace_rays_vol(
+        tables, fused, o, d, LR, interpret=True, rounds=12, cascade=False
+    )
+    casc = trace_rays_vol(
+        tables, fused, o, d, LR, interpret=True, rounds=12, cascade=True
+    )
+    for k in plain:
+        np.testing.assert_array_equal(
+            np.asarray(casc[k]), np.asarray(plain[k]), err_msg=k
+        )
+
+    # Composes with the active mask (bounce-leg contract): outputs match
+    # on active lanes; inactive lanes are caller-masked by contract.
+    act = jnp.asarray(rng.random(n) < 0.5)
+    pa = trace_rays_vol(
+        tables, fused, o, d, LR, interpret=True, rounds=12,
+        cascade=False, active=act,
+    )
+    ca = trace_rays_vol(
+        tables, fused, o, d, LR, interpret=True, rounds=12,
+        cascade=True, active=act,
+    )
+    m = np.asarray(act)
+    for k in pa:
+        np.testing.assert_array_equal(
+            np.asarray(ca[k])[m], np.asarray(pa[k])[m], err_msg=k
+        )
+
+
+def test_multi_brick_resolve_matches_single(weird_world):
+    """sub_bricks > 1 (K consecutive bricks per resolve, fresh gather per
+    brick, empty bricks crossed in one 8-step) must agree with the
+    single-brick path: same hits, same normals, positions within float
+    tolerance (the continuation replaces kernel re-entry, so the float
+    op sequence differs by ulps at brick walls)."""
+    fused, tables = weird_world
+    rng = np.random.default_rng(5)
+    n = 2048
+    o = np.stack(
+        [
+            rng.uniform(-110, 110, n),
+            rng.uniform(-110, 110, n),
+            rng.uniform(20, 120, n),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    base = trace_rays_vol(
+        tables, fused, o, d, LR, interpret=True, rounds=22,
+        sub_bricks=1, cascade=False,
+    )
+    for K in (2, 4):
+        got = trace_rays_vol(
+            tables, fused, o, d, LR, interpret=True, rounds=22,
+            sub_bricks=K, cascade=False,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got["air"]), np.asarray(base["air"]), err_msg=f"K={K}"
+        )
+        hit = ~np.asarray(base["air"]) & ~np.asarray(base["exhausted"])
+        np.testing.assert_array_equal(
+            np.asarray(got["normal"])[hit],
+            np.asarray(base["normal"])[hit],
+            err_msg=f"K={K}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["position"])[hit],
+            np.asarray(base["position"])[hit],
+            atol=1e-3,
+            err_msg=f"K={K}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got["albedo"])[hit],
+            np.asarray(base["albedo"])[hit],
+            err_msg=f"K={K}",
+        )
+
+
 def test_sky_and_bounds(weird_world):
     fused, tables = weird_world
     o = jnp.asarray([[0.5, 0.5, 110.0]] * 2, jnp.float32)
