@@ -1016,28 +1016,28 @@ def trace_rays_vol(
             new_pr = max(1, grid // div) * tile_rows
             if new_pr >= pr:
                 continue
-            # Stable live-first partition of the current prefix only.
-            m = pr * LANES
-            key = (cmeta[:pr] & 1) * jnp.int32(m) + iota[:pr]
+            # Stable live-first partition over the FULL width, not just
+            # the current prefix.  A prefix-only sort strands any live ray
+            # that didn't fit a level's cut (live fraction momentarily
+            # above the level width) outside every later prefix, leaving
+            # it to the full-width safety loop — measured as the diffuse
+            # legs gaining nothing from the cascade (543 vs 564 ms,
+            # probes/out/r3_vol1m_c.log) while coherent sun legs (fast
+            # live-count collapse, no overflow) improved 332 -> 112 ms.
+            # Full-width sorts self-heal: a paused overflow ray re-enters
+            # at the next level's cut.  Cost: ~7 ms per 9-operand 1M sort.
+            key = (cmeta & 1) * jnp.int32(n_pad) + iota
             out = jax.lax.sort(
-                (key.reshape(m),)
+                (key.reshape(n_pad),)
                 + tuple(
-                    a[:pr].reshape(m)
+                    a.reshape(n_pad)
                     for a in (cx, cy, cz, sdx, sdy, sdz, cmeta, cidx)
                 ),
                 num_keys=1,
             )
-            px_, py_, pz_, dx_, dy_, dz_, me_, id_ = (
-                a.reshape(pr, LANES) for a in out[1:]
+            cx, cy, cz, sdx, sdy, sdz, cmeta, cidx = (
+                a.reshape(rows, LANES) for a in out[1:]
             )
-            cx = cx.at[:pr].set(px_)
-            cy = cy.at[:pr].set(py_)
-            cz = cz.at[:pr].set(pz_)
-            sdx = sdx.at[:pr].set(dx_)
-            sdy = sdy.at[:pr].set(dy_)
-            sdz = sdz.at[:pr].set(dz_)
-            cmeta = cmeta.at[:pr].set(me_)
-            cidx = cidx.at[:pr].set(id_)
             pr = new_pr
             bx, by, bz, bmeta = run_rounds(
                 cx[:pr], cy[:pr], cz[:pr],
@@ -1048,10 +1048,34 @@ def trace_rays_vol(
             cz = cz.at[:pr].set(bz)
             cmeta = cmeta.at[:pr].set(bmeta)
 
-        # Safety: any live ray left beyond a prefix finishes here.
-        cx, cy, cz, cmeta = run_rounds(
-            cx, cy, cz, sdx, sdy, sdz, cmeta, rounds
-        )
+        # Safety: any live ray left beyond the FINAL prefix finishes
+        # here.  The levels already spent the full round budget on
+        # [:pr], and the full-width partitions put every live ray that
+        # fit inside it — so only overflow rays (live count above a
+        # level width at its cut) can sit in [pr:], and when there are
+        # none the suffix loop's cond is false on entry and it costs
+        # nothing.  Running the safety loop over the full width instead
+        # re-billed `rounds` full-width rounds whenever ANY prefix ray
+        # stayed live to the end: the converged diffuse leg has a
+        # never-terminating grazing tail (0.6% of rays still live after
+        # 18 rounds, probes/out/r3_vol1m_e.log), which made the cascade
+        # a net LOSS there (543 -> 570 ms) while the sun leg, whose
+        # live count reaches zero, improved 332 -> 118.
+        if pr < rows:
+            bx, by, bz, bmeta = run_rounds(
+                cx[pr:], cy[pr:], cz[pr:],
+                sdx[pr:], sdy[pr:], sdz[pr:], cmeta[pr:], rounds
+            )
+            cx = cx.at[pr:].set(bx)
+            cy = cy.at[pr:].set(by)
+            cz = cz.at[pr:].set(bz)
+            cmeta = cmeta.at[pr:].set(bmeta)
+        else:
+            # No level engaged (tiny grid with cascade forced on): the
+            # two warm-up rounds are all that ran; finish at full width.
+            cx, cy, cz, cmeta = run_rounds(
+                cx, cy, cz, sdx, sdy, sdz, cmeta, rounds
+            )
         out = jax.lax.sort(
             (cidx.reshape(n_pad),)
             + tuple(a.reshape(n_pad) for a in (cx, cy, cz, cmeta)),
