@@ -542,22 +542,35 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr,
             )
 
         need = parked & (s["status"] == 0)
-        # A continuation position may already be out of the window.
-        oob0 = oob_of(s["px"], s["py"], s["pz"])
-        s["status"] = jnp.where(need & oob0, jnp.int32(3), s["status"])
-        need = need & ~oob0
+        if k > 0:
+            # A continuation position may already be out of the window.
+            oob0 = oob_of(s["px"], s["py"], s["pz"])
+            s["status"] = jnp.where(need & oob0, jnp.int32(3), s["status"])
+            need = need & ~oob0
 
         b0, _, _, _ = brick_of(s["px"], s["py"], s["pz"])
         b0 = jnp.where(need, b0, 0)
         # (n, 16) row gather — the only volume memory touch.
         words = detail[b0]
-        row_or = words[:, 0]
-        for w in range(1, DETAIL_WORDS):
-            row_or = row_or | words[:, w]
-        # Empty brick: no voxel can hit, so one 8-aligned step (the
-        # kernel's base skip) crosses it; the march below then exits it
-        # on its first classification.  Non-empty bricks march per voxel.
-        step_f = jnp.where(row_or == 0, jnp.float32(8.0), jnp.float32(1.0))
+        if k > 0:
+            # Empty brick: no voxel can hit, so one 8-aligned step (the
+            # kernel's base skip) crosses it; the march below then exits
+            # it on its first classification.  Non-empty bricks march
+            # per voxel.  Only CONTINUATION bricks can be empty — a ray
+            # parks at k == 0 precisely because its brick is mixed — so
+            # the hot first march keeps the CONSTANT 1.0 modulus below:
+            # a per-lane vector modulus makes jnp.mod lower to a real
+            # divide per axis per march iteration instead of a folded
+            # fract, which alone measured config 1 at half speed
+            # (19.61 -> 9.67 Mrays/s, the 9833a11 regression).
+            row_or = words[:, 0]
+            for w in range(1, DETAIL_WORDS):
+                row_or = row_or | words[:, w]
+            step_f = jnp.where(
+                row_or == 0, jnp.float32(8.0), jnp.float32(1.0)
+            )
+        else:
+            step_f = jnp.float32(1.0)
 
         state = dict(i=jnp.int32(0), **s)
 
