@@ -787,9 +787,15 @@ def trace_rays_vol(
     after rounds 1/2/3/5) with ~2x slack.  Grazing rays park at every
     surface brick they skim — ~1 round per brick — and without the
     cascade every such round costs full width (measured 248 ms for a
-    1M-ray diffuse leg vs 44 ms primary).  Results are bit-identical:
-    the marches are memoryless in (position, direction), only the batch
-    layout between rounds changes.
+    1M-ray diffuse leg vs 44 ms primary).  Each level is debited the
+    rounds consumed ahead of it and the final level / safety loop get
+    exactly the remainder, so no ray marches more than ``rounds``
+    rounds total.  Results are bit-identical to the plain loop for
+    every ray that terminates within budget (marches are memoryless in
+    position/direction); among exhausted rays, only those that
+    momentarily overflowed a level's width can report a different
+    (earlier) resume position — they pause during that level and may
+    see fewer total rounds, never more.
 
     ``sub_bricks`` (default 1) lets one resolve continue through up to K
     consecutive bricks (fresh gather per brick; empty continuation
@@ -1012,22 +1018,42 @@ def trace_rays_vol(
         # left beyond a prefix (live fraction above a level's width); it
         # executes zero rounds otherwise and shares the full-width kernel
         # binary.  One more sort restores ray order; results are
-        # bit-identical to the plain loop (marches are memoryless in
-        # position/direction, only batch layout changes).
+        # bit-identical to the plain loop for every terminating ray
+        # (marches are memoryless in position/direction, only batch
+        # layout changes), and the budget debiting below keeps the total
+        # round count of every partition path at exactly ``rounds``.
         iota = jax.lax.broadcasted_iota(
             jnp.int32, (rows, LANES), 0
         ) * LANES + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
 
         cidx = iota
         sdx, sdy, sdz = cdx, cdy, cdz
+        warm = min(2, rounds)
         cx, cy, cz, cmeta = run_rounds(
-            cx, cy, cz, sdx, sdy, sdz, cmeta, min(2, rounds)
+            cx, cy, cz, sdx, sdy, sdz, cmeta, warm
         )
 
+        # Budget accounting: each level is debited the rounds already
+        # consumed ahead of it, and the final level (and the suffix safety
+        # loop, whose rays only saw the warm-up) gets exactly the
+        # remainder — so no ray can ever march more than ``rounds``
+        # rounds total, preserving the max_steps-derived budget contract.
+        # Rays that momentarily overflow a level's width pause during
+        # that level and may see FEWER total rounds (conservative: they
+        # can exhaust earlier than the plain loop, never later); rays
+        # that terminate within budget are bit-identical either way.
+        consumed = warm
         pr = rows  # current prefix (rows); shrinks per level
-        for budget, div in ((3, 2), (4, 4), (rounds, 8)):
+        for budget, div in ((3, 2), (4, 4), (None, 8)):
             new_pr = max(1, grid // div) * tile_rows
             if new_pr >= pr:
+                continue
+            level = (
+                (rounds - consumed)
+                if budget is None
+                else min(budget, rounds - consumed)
+            )
+            if level <= 0:
                 continue
             # Stable live-first partition over the FULL width, not just
             # the current prefix.  A prefix-only sort strands any live ray
@@ -1054,12 +1080,13 @@ def trace_rays_vol(
             pr = new_pr
             bx, by, bz, bmeta = run_rounds(
                 cx[:pr], cy[:pr], cz[:pr],
-                sdx[:pr], sdy[:pr], sdz[:pr], cmeta[:pr], budget,
+                sdx[:pr], sdy[:pr], sdz[:pr], cmeta[:pr], level,
             )
             cx = cx.at[:pr].set(bx)
             cy = cy.at[:pr].set(by)
             cz = cz.at[:pr].set(bz)
             cmeta = cmeta.at[:pr].set(bmeta)
+            consumed += level
 
         # Safety: any live ray left beyond the FINAL prefix finishes
         # here.  The levels already spent the full round budget on
@@ -1077,7 +1104,7 @@ def trace_rays_vol(
         if pr < rows:
             bx, by, bz, bmeta = run_rounds(
                 cx[pr:], cy[pr:], cz[pr:],
-                sdx[pr:], sdy[pr:], sdz[pr:], cmeta[pr:], rounds
+                sdx[pr:], sdy[pr:], sdz[pr:], cmeta[pr:], rounds - warm
             )
             cx = cx.at[pr:].set(bx)
             cy = cy.at[pr:].set(by)
@@ -1087,7 +1114,7 @@ def trace_rays_vol(
             # No level engaged (tiny grid with cascade forced on): the
             # two warm-up rounds are all that ran; finish at full width.
             cx, cy, cz, cmeta = run_rounds(
-                cx, cy, cz, sdx, sdy, sdz, cmeta, rounds
+                cx, cy, cz, sdx, sdy, sdz, cmeta, rounds - warm
             )
         out = jax.lax.sort(
             (cidx.reshape(n_pad),)

@@ -211,6 +211,52 @@ def test_straggler_cascade_bit_identical(weird_world):
         )
 
 
+def test_straggler_cascade_budget_boundary(weird_world):
+    """Pin the cascade's budget contract AT the exhaustion boundary.
+
+    With a tiny round budget (rounds=3) many rays exhaust, exercising the
+    path where cascade and plain loop may legitimately diverge.  The
+    contract (trace_rays_vol docstring): each cascade level is debited
+    the rounds consumed before it, so no ray marches MORE than ``rounds``
+    rounds — a ray the plain loop exhausts is exhausted by the cascade
+    too (superset) — and every ray that terminates under both reports
+    bit-identical results.  Rays that momentarily overflow a level's
+    width may see fewer rounds (exhaust earlier), never more."""
+    fused, tables = weird_world
+    rng = np.random.default_rng(23)
+    n = 5 * 2048
+    o = np.stack(
+        [
+            rng.uniform(-110, 110, n),
+            rng.uniform(-110, 110, n),
+            rng.uniform(30, 120, n),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    plain = trace_rays_vol(
+        tables, fused, o, d, LR, interpret=True, rounds=3, cascade=False
+    )
+    casc = trace_rays_vol(
+        tables, fused, o, d, LR, interpret=True, rounds=3, cascade=True
+    )
+    ex_p = np.asarray(plain["exhausted"])
+    ex_c = np.asarray(casc["exhausted"])
+    assert ex_p.any(), "boundary test needs rays that exhaust the budget"
+    # Budget never exceeded: plain-exhausted => cascade-exhausted.
+    np.testing.assert_array_equal(ex_c | ~ex_p, np.ones_like(ex_p))
+    both_done = ~ex_p & ~ex_c
+    assert both_done.any()
+    for k in plain:
+        np.testing.assert_array_equal(
+            np.asarray(casc[k])[both_done],
+            np.asarray(plain[k])[both_done],
+            err_msg=k,
+        )
+
+
 def test_multi_brick_resolve_matches_single(weird_world):
     """sub_bricks > 1 (K consecutive bricks per resolve, fresh gather per
     brick, empty bricks crossed in one 8-step) must agree with the
