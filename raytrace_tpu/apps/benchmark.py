@@ -109,18 +109,11 @@ def config1_single_chunk(tracer="volume_fast"):
                 fused, bn, moved(t), 512, 512, 1024, bounces=0
             )["albedo"]
     else:
-        import os
-
         tables = build_vol_tables(fused)
-        # A/B knob: compact late-round resolves to O(live) gathered rows
-        # (trace_vol_pallas._resolve_maybe_compact).
-        cc = os.environ.get("RAYTRACE_TPU_COMPACT_CAP")
-        compact_cap = int(cc) if cc else None
 
         def frame(t):
             return render_gbuffers_vol(
                 fused, tables, bn, moved(t), 512, 512, 1024, bounces=0,
-                compact_cap=compact_cap,
             )["albedo"]
 
     dt = _time_chained(frame)

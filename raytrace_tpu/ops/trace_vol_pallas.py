@@ -249,7 +249,7 @@ def _make_vol_kernel(tile_rows: int, max_steps: int, unroll: int = 2):
     S = tile_rows
 
     def kernel(
-        iscal_ref,  # SMEM (16,) i32: lr (3), escape bounds (6), jump bounds (6)
+        iscal_ref,  # SMEM (10,) i32: lr (3), escape bounds (6), pad
         px_ref, py_ref, pz_ref, dx_ref, dy_ref, dz_ref, n0_ref,  # (S,128)
         any8_ref, all8_ref, hi_ref,  # pyramid tables
         opx_ref, opy_ref, opz_ref, onormal_ref, ostatus_ref,
@@ -266,11 +266,6 @@ def _make_vol_kernel(tile_rows: int, max_steps: int, unroll: int = 2):
         bxmin, bxmax = jnp.float32(iscal_ref[3]), jnp.float32(iscal_ref[4])
         bymin, bymax = jnp.float32(iscal_ref[5]), jnp.float32(iscal_ref[6])
         bzmin, bzmax = jnp.float32(iscal_ref[7]), jnp.float32(iscal_ref[8])
-        # Approach-jump bounds (usually the same box; infinite when the
-        # feature is off — value-gated, same compiled program).
-        jxmin, jxmax = jnp.float32(iscal_ref[9]), jnp.float32(iscal_ref[10])
-        jymin, jymax = jnp.float32(iscal_ref[11]), jnp.float32(iscal_ref[12])
-        jzmin, jzmax = jnp.float32(iscal_ref[13]), jnp.float32(iscal_ref[14])
 
         dxv, dyv, dzv = dx_ref[:], dy_ref[:], dz_ref[:]
         inv_len = jax.lax.rsqrt(
@@ -382,40 +377,6 @@ def _make_vol_kernel(tile_rows: int, max_steps: int, unroll: int = 2):
             lmin = jnp.where(use_x, lx, jnp.where(use_y, ly, lz))
             nrm = jnp.where(use_x, nx_id, jnp.where(use_y, ny_id, nz_id))
 
-            # Approach jump: outside the occupancy box on an axis but
-            # moving toward it — everything until the box's near plane is
-            # provably air (the classification above already ran on an
-            # in-window empty voxel), so the step may extend straight to
-            # the plane with the LARGEST approach distance (the true
-            # region-entry constraint, whose axis is also the geometric
-            # entry face the stepped DDA would record).  Same eps nudge as
-            # boundary_dist; the regular pyramid step wins when longer.
-            zero = jnp.float32(0.0)
-            jx = jnp.where(
-                (px < jxmin) & (dxv > 0), (jxmin - px) * lpx,
-                jnp.where((px >= jxmax) & (dxv < 0), (px - jxmax) * lpx, zero),
-            )
-            jy = jnp.where(
-                (py < jymin) & (dyv > 0), (jymin - py) * lpy,
-                jnp.where((py >= jymax) & (dyv < 0), (py - jymax) * lpy, zero),
-            )
-            jz = jnp.where(
-                (pz < jzmin) & (dzv > 0), (jzmin - pz) * lpz,
-                jnp.where((pz >= jzmax) & (dzv < 0), (pz - jzmax) * lpz, zero),
-            )
-            use_jx = (jx >= jy) & (jx >= jz)
-            use_jy = ~use_jx & (jy >= jz)
-            jmax = jnp.where(use_jx, jx, jnp.where(use_jy, jy, jz))
-            jdist = jmax + eps * jnp.where(
-                use_jx, lpx, jnp.where(use_jy, lpy, lpz)
-            )
-            jnrm = jnp.where(use_jx, nx_id, jnp.where(use_jy, ny_id, nz_id))
-            # jmax > 0 guards the no-approach case (eps alone must not
-            # fabricate a jump along a near-parallel axis with huge 1/|d|).
-            do_jump = (jmax > zero) & (jdist > lmin)
-            lmin = jnp.where(do_jump, jdist, lmin)
-            nrm = jnp.where(do_jump, jnrm, nrm)
-
             npx = jnp.where(move, px + dxv * lmin, px)
             npy = jnp.where(move, py + dyv * lmin, py)
             npz = jnp.where(move, pz + dzv * lmin, pz)
@@ -467,8 +428,7 @@ def _make_vol_kernel(tile_rows: int, max_steps: int, unroll: int = 2):
 # ---------------------------------------------------------------------------
 
 
-def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr,
-                  sub_bricks: int = 1):
+def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
     """March parked rays through their mixed brick's voxel bits.
 
     One row gather pulls each parked ray's 16-word brick mask; a fixed-trip
@@ -480,16 +440,9 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr,
     ray live at the eps-past-the-wall resume point for the next kernel
     round.
 
-    ``sub_bricks`` > 1 continues through up to that many consecutive
-    bricks in ONE resolve — a fresh row gather per brick.  A ray skimming
-    a bumpy surface parks at every mixed brick along its path, and one
-    round per brick is what made diffuse bounce legs cost ~19 full-width
-    rounds (probes/out/r3_vol1m_b.log); K bricks per resolve divides the
-    round count by ~K for one extra gather each.  The gathered row also
-    classifies the brick for free: an all-solid row hits at the entry
-    voxel immediately (first march test), and an EMPTY row takes one
-    8-aligned step spanning the whole brick (the per-lane step_f below),
-    so continuation bricks of any kind cost <= a march.
+    (A ``sub_bricks`` variant that continued through K consecutive bricks
+    per resolve — fresh row gather each — was measured on hardware as a
+    2-3x config-1 loss and removed; probes/out/r4_decomp.log.)
     """
     parked = (meta & _PARKED) != 0
     lrf = lr.astype(jnp.float32)
@@ -532,92 +485,65 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr,
         status=jnp.where(parked, jnp.int32(0), jnp.int32(2)),
     )
 
-    for k in range(sub_bricks):
-        if k > 0:
-            # Unhit brick exits continue into the next brick this same
-            # resolve; only the last sub-brick's exits return to the
-            # kernel (non-parked rays hold status 2 but are excluded).
-            s["status"] = jnp.where(
-                parked & (s["status"] == 2), jnp.int32(0), s["status"]
-            )
+    need = parked & (s["status"] == 0)
+    b0, _, _, _ = brick_of(s["px"], s["py"], s["pz"])
+    b0 = jnp.where(need, b0, 0)
+    # (n, 16) row gather — the only volume memory touch.
+    words = detail[b0]
+    # The march keeps a CONSTANT 1.0 modulus (a parked ray's own brick is
+    # mixed by definition, so every march step is a single-voxel step): a
+    # per-lane vector modulus makes jnp.mod lower to a real divide per
+    # axis per march iteration instead of a folded fract, which alone
+    # measured config 1 at half speed (19.61 -> 9.67 Mrays/s, the
+    # 9833a11 regression).
+    step_f = jnp.float32(1.0)
 
-        need = parked & (s["status"] == 0)
-        if k > 0:
-            # A continuation position may already be out of the window.
-            oob0 = oob_of(s["px"], s["py"], s["pz"])
-            s["status"] = jnp.where(need & oob0, jnp.int32(3), s["status"])
-            need = need & ~oob0
+    state = dict(i=jnp.int32(0), **s)
 
-        b0, _, _, _ = brick_of(s["px"], s["py"], s["pz"])
-        b0 = jnp.where(need, b0, 0)
-        # (n, 16) row gather — the only volume memory touch.
-        words = detail[b0]
-        if k > 0:
-            # Empty brick: no voxel can hit, so one 8-aligned step (the
-            # kernel's base skip) crosses it; the march below then exits
-            # it on its first classification.  Non-empty bricks march
-            # per voxel.  Only CONTINUATION bricks can be empty — a ray
-            # parks at k == 0 precisely because its brick is mixed — so
-            # the hot first march keeps the CONSTANT 1.0 modulus below:
-            # a per-lane vector modulus makes jnp.mod lower to a real
-            # divide per axis per march iteration instead of a folded
-            # fract, which alone measured config 1 at half speed
-            # (19.61 -> 9.67 Mrays/s, the 9833a11 regression).
-            row_or = words[:, 0]
-            for w in range(1, DETAIL_WORDS):
-                row_or = row_or | words[:, w]
-            step_f = jnp.where(
-                row_or == 0, jnp.float32(8.0), jnp.float32(1.0)
-            )
-        else:
-            step_f = jnp.float32(1.0)
+    def cond(st):
+        return (st["i"] < 23) & jnp.any(parked & (st["status"] == 0))
 
-        state = dict(i=jnp.int32(0), **s)
+    def body(st):
+        act = need & (st["status"] == 0)
+        b_now, tx, ty, tz = brick_of(st["px"], st["py"], st["pz"])
+        oob = oob_of(st["px"], st["py"], st["pz"])
+        inside = (b_now == b0) & ~oob
+        status = jnp.where(act & oob, jnp.int32(3), st["status"])
+        status = jnp.where(act & ~inside & ~oob, jnp.int32(2), status)
+        act = act & inside
 
-        def cond(st):
-            return (st["i"] < 23) & jnp.any(parked & (st["status"] == 0))
+        v = ((tz & 7) << 6) | ((ty & 7) << 3) | (tx & 7)
+        wsel = v >> 5  # occupancy word index 0..15
+        word = jnp.zeros_like(v)
+        for w in range(DETAIL_WORDS):
+            word = jnp.where(wsel == w, words[:, w], word)
+        solid = ((word >> (v & 31)) & 1) == 1
+        hit = act & solid
+        status = jnp.where(hit, jnp.int32(1), status)
+        move = act & ~hit
 
-        def body(st, b0=b0, words=words, step_f=step_f, need=need):
-            act = need & (st["status"] == 0)
-            b_now, tx, ty, tz = brick_of(st["px"], st["py"], st["pz"])
-            oob = oob_of(st["px"], st["py"], st["pz"])
-            inside = (b_now == b0) & ~oob
-            status = jnp.where(act & oob, jnp.int32(3), st["status"])
-            status = jnp.where(act & ~inside & ~oob, jnp.int32(2), status)
-            act = act & inside
+        lx = (eps + jnp.mod(
+            (st["px"] + jnp.float32(_HALF)) * mulx, step_f)) * lpx
+        ly = (eps + jnp.mod(
+            (st["py"] + jnp.float32(_HALF)) * muly, step_f)) * lpy
+        lz = (eps + jnp.mod(
+            (st["pz"] + jnp.float32(_HALF)) * mulz, step_f)) * lpz
+        use_x = (lx < ly) & (lx < lz)
+        use_y = ~(lx < ly) & (ly < lz)
+        lmin = jnp.where(use_x, lx, jnp.where(use_y, ly, lz))
+        nrm = jnp.where(use_x, nx_id, jnp.where(use_y, ny_id, nz_id))
 
-            v = ((tz & 7) << 6) | ((ty & 7) << 3) | (tx & 7)
-            wsel = v >> 5  # occupancy word index 0..15
-            word = jnp.zeros_like(v)
-            for w in range(DETAIL_WORDS):
-                word = jnp.where(wsel == w, words[:, w], word)
-            solid = ((word >> (v & 31)) & 1) == 1
-            hit = act & solid
-            status = jnp.where(hit, jnp.int32(1), status)
-            move = act & ~hit
+        return dict(
+            i=st["i"] + 1,
+            px=jnp.where(move, st["px"] + dxv * lmin, st["px"]),
+            py=jnp.where(move, st["py"] + dyv * lmin, st["py"]),
+            pz=jnp.where(move, st["pz"] + dzv * lmin, st["pz"]),
+            normal=jnp.where(move, nrm, st["normal"]),
+            status=status,
+        )
 
-            lx = (eps + jnp.mod(
-                (st["px"] + jnp.float32(_HALF)) * mulx, step_f)) * lpx
-            ly = (eps + jnp.mod(
-                (st["py"] + jnp.float32(_HALF)) * muly, step_f)) * lpy
-            lz = (eps + jnp.mod(
-                (st["pz"] + jnp.float32(_HALF)) * mulz, step_f)) * lpz
-            use_x = (lx < ly) & (lx < lz)
-            use_y = ~(lx < ly) & (ly < lz)
-            lmin = jnp.where(use_x, lx, jnp.where(use_y, ly, lz))
-            nrm = jnp.where(use_x, nx_id, jnp.where(use_y, ny_id, nz_id))
-
-            return dict(
-                i=st["i"] + 1,
-                px=jnp.where(move, st["px"] + dxv * lmin, st["px"]),
-                py=jnp.where(move, st["py"] + dyv * lmin, st["py"]),
-                pz=jnp.where(move, st["pz"] + dzv * lmin, st["pz"]),
-                normal=jnp.where(move, nrm, st["normal"]),
-                status=status,
-            )
-
-        out = jax.lax.while_loop(cond, body, state)
-        s = {key: out[key] for key in ("px", "py", "pz", "normal", "status")}
+    out = jax.lax.while_loop(cond, body, state)
+    s = {key: out[key] for key in ("px", "py", "pz", "normal", "status")}
 
     # Fold resolve results back into the meta word.  Rays still status-0
     # after 23 crossings cannot exist geometrically; treat as exited (the
@@ -647,93 +573,6 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr,
     )
 
 
-def _compact_segments(n: int, cap: int) -> int:
-    """Segment length R for the segmented compact resolve: the largest
-    power of two <= min(16, n // cap) that divides n.  Bounded at 16 so the
-    R-way select chains stay small in the HLO; a power of two always
-    divides n (ray counts are padded to tile multiples)."""
-    r = 1
-    while r < 16 and r * 2 <= max(1, n // cap) and n % (r * 2) == 0:
-        r *= 2
-    return r
-
-
-def _resolve_maybe_compact(
-    detail, px, py, pz, dx, dy, dz, meta, lr, cap: int,
-    sub_bricks: int = 1,
-):
-    """resolve_mixed, but gathering only O(live) detail rows when few rays
-    need it.
-
-    The full resolve gathers one detail row per ray every round while live
-    counts collapse geometrically (config 1 measured 152k -> 25k -> 472),
-    and its in-register march runs over the full batch too.  When at most
-    ``cap`` rays are parked, an R-way SEGMENTED selection resolves a
-    subset: slot j considers rays {j, j+S, j+2S, ...} (stride-S spreads the
-    spatially clustered parks across slots) and takes the first candidate.
-    Selection and merge-back are pure R-way vector selects — no index
-    build, no sort, no scatter, no input gather; the only gather is the
-    resolve's own S-row detail gather (S = n/R).  Slot collisions simply
-    stay parked and drain in later rounds — the round loop keeps running
-    while any ray is live, and a kernel pass over parked rays re-parks
-    them in one step, so extra rounds are cheap.  Rounds with more than
-    ``cap`` candidates (in practice only round 1) take the full-batch path
-    via lax.cond.
-    """
-    n = px.shape[0]
-    need = (meta & _PARKED) != 0
-    cnt = jnp.sum(need.astype(jnp.int32))
-    R = _compact_segments(n, cap)
-    S = n // R
-    inert = jnp.int32(_DONE | _AIR)
-
-    def full(_):
-        fx, fy, fz, _n, fm = resolve_mixed(
-            detail, px, py, pz, dx, dy, dz, (meta >> 2) & 7, meta, lr,
-            sub_bricks=sub_bricks,
-        )
-        return fx, fy, fz, fm
-
-    def compact(_):
-        views = [a.reshape(R, S) for a in (px, py, pz, dx, dy, dz)]
-        mview = meta.reshape(R, S)
-        nview = need.reshape(R, S)
-        sel = jnp.argmax(nview, axis=0)  # first candidate per slot
-        got = jnp.any(nview, axis=0)
-
-        def pick(v):
-            out = v[0]
-            for k in range(1, R):
-                out = jnp.where(sel == k, v[k], out)
-            return out
-
-        spx, spy, spz = pick(views[0]), pick(views[1]), pick(views[2])
-        sdx, sdy, sdz = pick(views[3]), pick(views[4]), pick(views[5])
-        smeta = jnp.where(got, pick(mview), inert)
-        rx, ry, rz, _n2, rm = resolve_mixed(
-            detail, spx, spy, spz, sdx, sdy, sdz, (smeta >> 2) & 7,
-            smeta, lr, sub_bricks=sub_bricks,
-        )
-
-        def put(v, r):
-            rows = [
-                jnp.where(got & (sel == k), r, v[k]) for k in range(R)
-            ]
-            return jnp.stack(rows, 0).reshape(n)
-
-        return (
-            put(views[0], rx),
-            put(views[1], ry),
-            put(views[2], rz),
-            put(mview, rm),
-        )
-
-    if R == 1:
-        # One segment = the full batch; skip the cond entirely.
-        return full(None)
-    return jax.lax.cond(cnt <= cap, compact, full, None)
-
-
 # ---------------------------------------------------------------------------
 # Host-side wrapper: kernel/resolve rounds with compaction
 # ---------------------------------------------------------------------------
@@ -742,8 +581,7 @@ def _resolve_maybe_compact(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "max_steps", "tile_rows", "interpret", "rounds", "cap",
-        "compact_cap", "cascade", "sub_bricks"
+        "max_steps", "tile_rows", "interpret", "rounds", "cap", "cascade",
     ),
 )
 def trace_rays_vol(
@@ -758,11 +596,8 @@ def trace_rays_vol(
     rounds: int | None = None,
     cap: int = 96,
     active: jax.Array | None = None,
-    compact_cap: int | None = None,
     escape: bool = True,
-    approach_jump: bool = False,
     cascade: bool | None = None,
-    sub_bricks: int | None = None,
 ) -> dict[str, jax.Array]:
     """General-volume trace; drop-in for trace_jax.trace_rays.
 
@@ -797,13 +632,6 @@ def trace_rays_vol(
     (earlier) resume position — they pause during that level and may
     see fewer total rounds, never more.
 
-    ``sub_bricks`` (default 1) lets one resolve continue through up to K
-    consecutive bricks (fresh gather per brick; empty continuation
-    bricks cross in one 8-step, all-solid ones hit at entry).  Default
-    off: on terrain the kernel already crosses the empty gaps between
-    mixed bricks within the same round, so K > 1 mostly re-buys gathers;
-    it pays on content whose mixed bricks form dense consecutive runs.
-
     ``max_steps`` bounds the total march budget like the reference's
     2048-step limit (raytrace.comp:109): when ``rounds`` is not given it is
     derived as ceil(max_steps / cap), so the worst case is >= max_steps
@@ -824,12 +652,11 @@ def trace_rays_vol(
     is traced, not static: False selects never-true infinite bounds in
     the SAME compiled program, so an on-hardware A/B costs no recompile.
 
-    ``approach_jump`` (default False pending hardware A/B) extends a step
-    to the occupancy box's entry plane for rays outside it moving toward
-    it — empty-gap traversal in one step instead of 64-voxel pyramid
-    hops.  Hit results match within float tolerance (the jump lands on
-    the same plane the stepped DDA reaches, via one multiply instead of
-    several).  Value-gated like ``escape``: no recompile to A/B.
+    (Three tuning knobs were A/B'd on hardware and removed,
+    probes/out/r4_decomp.log: ``approach_jump`` measured flat — the
+    escape bounds already complete the rays it would help; ``sub_bricks``
+    was a 2-3x config-1 loss; ``compact_cap`` segmented resolves measured
+    as a round-3 net loss.)
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -863,20 +690,14 @@ def trace_rays_vol(
         ).astype(jnp.int32)
 
     lri = jnp.asarray(lr, jnp.int32)
-    # escape / approach_jump are TRACED (jnp.where on the bound values,
-    # not program variants): A/B-ing them on hardware reuses one compiled
-    # program, and False degrades the corresponding kernel test to
-    # never-true infinite bounds.
+    # escape is TRACED (jnp.where on the bound values, not a program
+    # variant): A/B-ing it on hardware reuses one compiled program, and
+    # False degrades the kernel test to never-true infinite bounds.
     big = jnp.int32(1) << 30
     inf_bounds = jnp.stack([-big, big, -big, big, -big, big])
     occ_bounds = _occupancy_world_bounds(tables["any8b"], lri)
     esc_bounds = jnp.where(jnp.asarray(escape, bool), occ_bounds, inf_bounds)
-    jump_bounds = jnp.where(
-        jnp.asarray(approach_jump, bool), occ_bounds, inf_bounds
-    )
-    iscal = jnp.concatenate(
-        [lri, esc_bounds, jump_bounds, jnp.zeros(1, jnp.int32)]
-    )
+    iscal = jnp.concatenate([lri, esc_bounds, jnp.zeros(1, jnp.int32)])
 
     ray_spec = pl.BlockSpec(
         (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -943,34 +764,18 @@ def trace_rays_vol(
             cmeta = jnp.where(fin, cmeta, meta_new)
 
             # Resolve this round's mixed-brick parks (flat views).
-            if compact_cap is not None:
-                fx, fy, fz, fmeta = _resolve_maybe_compact(
-                    detail,
-                    cx.reshape(n_l),
-                    cy.reshape(n_l),
-                    cz.reshape(n_l),
-                    bdx.reshape(n_l),
-                    bdy.reshape(n_l),
-                    bdz.reshape(n_l),
-                    cmeta.reshape(n_l),
-                    lri,
-                    compact_cap,
-                    sub_bricks=sub_bricks,
-                )
-            else:
-                fx, fy, fz, _, fmeta = resolve_mixed(
-                    detail,
-                    cx.reshape(n_l),
-                    cy.reshape(n_l),
-                    cz.reshape(n_l),
-                    bdx.reshape(n_l),
-                    bdy.reshape(n_l),
-                    bdz.reshape(n_l),
-                    (cmeta.reshape(n_l) >> 2) & 7,
-                    cmeta.reshape(n_l),
-                    lri,
-                    sub_bricks=sub_bricks,
-                )
+            fx, fy, fz, _, fmeta = resolve_mixed(
+                detail,
+                cx.reshape(n_l),
+                cy.reshape(n_l),
+                cz.reshape(n_l),
+                bdx.reshape(n_l),
+                bdy.reshape(n_l),
+                bdz.reshape(n_l),
+                (cmeta.reshape(n_l) >> 2) & 7,
+                cmeta.reshape(n_l),
+                lri,
+            )
             return dict(
                 r=s["r"] + 1,
                 x=fx.reshape(rows_l, LANES),
@@ -986,15 +791,6 @@ def trace_rays_vol(
         )
         return s["x"], s["y"], s["z"], s["meta"]
 
-    if sub_bricks is None:
-        # Default 1: on terrain-like content, mixed bricks along a ray are
-        # interspersed with empty gaps the KERNEL already crosses within
-        # the same round, so a K-brick resolve continuation mostly re-buys
-        # gathers the kernel gets for free (measured: no round-count win
-        # on diffuse legs, and each continuation gather costs full width).
-        # K > 1 pays only on content whose mixed bricks come in dense
-        # consecutive runs (deep caves, fully rough volumes).
-        sub_bricks = 1
     if cascade is None:
         # Stragglers matter when the budget allows many rounds and the
         # batch is big enough that full-width rounds dwarf the two sorts.
@@ -1179,7 +975,7 @@ def trace_rays_vol(
     jax.jit,
     static_argnames=(
         "width", "height", "max_steps", "rows", "interpret", "bounces",
-        "compact_cap", "cascade",
+        "cascade",
     ),
 )
 def render_gbuffers_vol(
@@ -1194,9 +990,7 @@ def render_gbuffers_vol(
     rows: int | None = None,
     interpret: bool | None = None,
     bounces: int = 2,
-    compact_cap: int | None = None,
     escape: bool = True,
-    approach_jump: bool = False,
     cascade: bool | None = None,
 ) -> dict[str, jax.Array]:
     """G-buffers via the fast general-volume tracer.
@@ -1204,9 +998,8 @@ def render_gbuffers_vol(
     Same lighting integration as the other tracers (trace_jax
     integrate_gbuffers) with trace_rays_vol plugged in; renders arbitrary
     volume content (preloaded/edited worlds) at brick-pyramid speed.
-    compact_cap, escape, approach_jump, and cascade forward to
-    trace_rays_vol (segmented late-round resolves; occupancy-bounds sky
-    completion; one-step empty-gap traversal; straggler cascade).
+    escape and cascade forward to trace_rays_vol (occupancy-bounds sky
+    completion; straggler cascade).
     """
     from .trace_jax import integrate_gbuffers
 
@@ -1215,8 +1008,8 @@ def render_gbuffers_vol(
     def trace(o, d, active=None):
         return trace_rays_vol(
             tables, fused_flat, o, d, lr_i, max_steps=max_steps,
-            interpret=interpret, active=active, compact_cap=compact_cap,
-            escape=escape, approach_jump=approach_jump, cascade=cascade,
+            interpret=interpret, active=active,
+            escape=escape, cascade=cascade,
         )
 
     return integrate_gbuffers(

@@ -116,53 +116,6 @@ def test_generated_world_matches(full_world_volume):
     )
 
 
-def test_compact_resolve_matches_full(weird_world):
-    """compact_cap (O(live) late-round resolves) must be output-identical
-    to the full-batch resolve — exercising BOTH lax.cond branches: a cap
-    below round-1's parked count forces the full path first, then late
-    rounds take the compact path; a huge cap takes compact every round."""
-    fused, tables = weird_world
-    o, d = _cam_rays((0.0, -80.0, 40.0), -0.4)  # 576 rays, most park round 1
-
-    base = {
-        k: np.asarray(v)
-        for k, v in trace_rays_vol(tables, fused, o, d, LR, interpret=True).items()
-    }
-    # 64/96: round 1 overflows the cap (full path) then late rounds take
-    # the segmented path with different R; 4096 >= n degenerates to the
-    # full resolve every round (R == 1).
-    for cc in (64, 96, 4096):
-        got = {
-            k: np.asarray(v)
-            for k, v in trace_rays_vol(
-                tables, fused, o, d, LR, interpret=True, compact_cap=cc
-            ).items()
-        }
-        for k in ("air", "normal", "exhausted"):
-            np.testing.assert_array_equal(got[k], base[k], err_msg=f"cap={cc} {k}")
-        for k in ("position", "albedo", "distance"):
-            # The compact variant compiles a different graph (cond + gather),
-            # so XLA may contract fma/sqrt differently — values agree to
-            # float32 ulps, not necessarily bit-for-bit.
-            np.testing.assert_allclose(
-                got[k], base[k], rtol=1e-6, atol=1e-5, err_msg=f"cap={cc} {k}"
-            )
-
-
-def test_compact_resolve_with_active_mask(weird_world):
-    """compact_cap composes with the active mask (skipped bounce legs)."""
-    fused, tables = weird_world
-    o = jnp.asarray([[0.5, -60.0, 20.0]] * 8, jnp.float32)
-    d = jnp.asarray([[0.0, 1.0, -0.3]] * 8, jnp.float32)
-    active = jnp.asarray([True, False] * 4)
-    ref = trace_rays_vol(tables, fused, o, d, LR, interpret=True, active=active)
-    got = trace_rays_vol(
-        tables, fused, o, d, LR, interpret=True, active=active, compact_cap=256
-    )
-    for k in ref:
-        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(ref[k]), err_msg=k)
-
-
 def test_straggler_cascade_bit_identical(weird_world):
     """The straggler cascade (2 full-width rounds -> live-first partition
     -> quarter-width remainder -> safety loop -> order-restoring sort)
@@ -254,57 +207,6 @@ def test_straggler_cascade_budget_boundary(weird_world):
             np.asarray(casc[k])[both_done],
             np.asarray(plain[k])[both_done],
             err_msg=k,
-        )
-
-
-def test_multi_brick_resolve_matches_single(weird_world):
-    """sub_bricks > 1 (K consecutive bricks per resolve, fresh gather per
-    brick, empty bricks crossed in one 8-step) must agree with the
-    single-brick path: same hits, same normals, positions within float
-    tolerance (the continuation replaces kernel re-entry, so the float
-    op sequence differs by ulps at brick walls)."""
-    fused, tables = weird_world
-    rng = np.random.default_rng(5)
-    n = 2048
-    o = np.stack(
-        [
-            rng.uniform(-110, 110, n),
-            rng.uniform(-110, 110, n),
-            rng.uniform(20, 120, n),
-        ],
-        axis=-1,
-    ).astype(np.float32)
-    d = rng.normal(size=(n, 3)).astype(np.float32)
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-    o, d = jnp.asarray(o), jnp.asarray(d)
-    base = trace_rays_vol(
-        tables, fused, o, d, LR, interpret=True, rounds=22,
-        sub_bricks=1, cascade=False,
-    )
-    for K in (2, 4):
-        got = trace_rays_vol(
-            tables, fused, o, d, LR, interpret=True, rounds=22,
-            sub_bricks=K, cascade=False,
-        )
-        np.testing.assert_array_equal(
-            np.asarray(got["air"]), np.asarray(base["air"]), err_msg=f"K={K}"
-        )
-        hit = ~np.asarray(base["air"]) & ~np.asarray(base["exhausted"])
-        np.testing.assert_array_equal(
-            np.asarray(got["normal"])[hit],
-            np.asarray(base["normal"])[hit],
-            err_msg=f"K={K}",
-        )
-        np.testing.assert_allclose(
-            np.asarray(got["position"])[hit],
-            np.asarray(base["position"])[hit],
-            atol=1e-3,
-            err_msg=f"K={K}",
-        )
-        np.testing.assert_array_equal(
-            np.asarray(got["albedo"])[hit],
-            np.asarray(base["albedo"])[hit],
-            err_msg=f"K={K}",
         )
 
 
@@ -403,38 +305,6 @@ def test_escape_equivalence(weird_world):
             np.testing.assert_array_equal(
                 got[k][hit], ref[k][hit], err_msg=f"{k} pitch={pitch}"
             )
-
-
-def test_approach_jump_equivalence(weird_world):
-    """approach_jump reaches the same plane the stepped DDA reaches via
-    one multiply instead of several: identical air partition and hit
-    voxels; hit positions within float tolerance, normals exact."""
-    fused, tables = weird_world
-    for origin, pitch in [
-        ((0.5, -60.0, 40.0), -0.4),    # outside-above, approaching
-        ((60.0, -90.0, 60.0), -0.7),   # diagonal approach, two axes out
-        ((0.5, 0.5, -50.0), -1.2),     # inside the content box already
-    ]:
-        o, d = _cam_rays(origin, pitch)
-        ref = {
-            k: np.asarray(v)
-            for k, v in trace_rays_vol(
-                tables, fused, o, d, LR, interpret=True
-            ).items()
-        }
-        got = {
-            k: np.asarray(v)
-            for k, v in trace_rays_vol(
-                tables, fused, o, d, LR, interpret=True, approach_jump=True
-            ).items()
-        }
-        np.testing.assert_array_equal(got["air"], ref["air"], err_msg=str(pitch))
-        np.testing.assert_array_equal(got["exhausted"], ref["exhausted"])
-        hit = ~ref["air"]
-        np.testing.assert_array_equal(got["normal"][hit], ref["normal"][hit])
-        np.testing.assert_array_equal(got["albedo"][hit], ref["albedo"][hit])
-        dp = np.abs(got["position"] - ref["position"]).max(-1)
-        assert dp[hit].max() < 1e-3, (pitch, dp[hit].max())
 
 
 def test_escape_frames_bit_equal(weird_world):
