@@ -1,0 +1,583 @@
+"""Whole-path general-volume renderer: one round pipeline for all 5 legs.
+
+The staged volume_fast pipeline (trace_jax.integrate_gbuffers driving
+trace_rays_vol) traces the light path as five separate leg batches
+(primary, sun-shadow, diffuse, second sun, second diffuse —
+raytrace.comp:317-350) and synchronizes every ray between legs: each leg
+pays its own full-width warm rounds, its own straggler cascade with
+multi-operand partition sorts, its own end-of-trace material gather, and
+its intermediate ray state round-trips HBM five times.  That structure
+is why arbitrary-content frames ran ~12x slower than the fused
+procedural path (docs/BENCHMARKS.md round 3).
+
+Here the ENTIRE path runs in ONE kernel/resolve round loop — the
+volume-tracer analog of ops/lighting_pallas.py's fused whole-path kernel
+(which took the procedural path 63.6 -> 126 Mrays/s):
+
+  * Per-pixel path state is a handful of BITS (current leg, which legs
+    reached sky, the two hit normals) in one i32 meta word plus the hit
+    voxel indices; radiance is reconstructed exactly by a final planar
+    XLA pass (sky/sun colors are pure functions of per-pixel noise and
+    uniforms — lighting_pallas's design, reused).
+  * Rays stay in PIXEL ORDER for the whole frame: late-round narrowing
+    uses ephemeral slotted views (R-way first-live-per-slot selection,
+    generalized from round 3's segmented compact resolve) instead of the
+    cascade's stable partition sorts — no sorts, no unsort, and the
+    KERNEL pass shrinks with the live count, not only the resolve.
+  * Leg transitions run in XLA between rounds: a ray whose leg completes
+    (kernel air-escape or resolve hit) starts its next leg in the SAME
+    round, so a 5-leg path costs ~2 rounds per leg instead of five
+    separate cascade pipelines.  Jittered sun directions and the
+    unit-sphere points of both diffuse bounces are precomputed planar
+    (pure functions of the blue noise) and ride the round loop as
+    invariant operands.
+  * Hit materials are never touched in the round loop: each hit records
+    its voxel's linear index, and ONE 8-word row gather per hit buffer at
+    the end decodes albedo (row gathers run ~2.6x faster per row than
+    per-element gathers on TPU — measured in probes/out/r4_decomp.log:
+    16-word rows 4.4 ns/row vs 11.5 ns/element).
+
+Exhaustion semantics: the whole path shares one round budget (default =
+legs * ceil(max_steps / cap), the sum of the staged per-leg budgets).
+Rays still mid-path when it runs out report the REPORT_ERROR pink-pixel
+analog when the PRIMARY leg was cut (raytrace.comp:5-7,387-400); a later
+leg cut contributes no light, exactly like a staged leg that exhausts
+(its albedo/sky contribution is zero either way).  A ray that waits out
+slot collisions in a narrowed view may see fewer total rounds than the
+budget (it can exhaust earlier than the staged path, never later) —
+the same conservative contract as round 3's cascade debiting.
+
+Hit semantics (positions, face normals, epsilons, the 0.001 hit nudge,
+toroidal addressing) are inherited unchanged from trace_vol_pallas's
+kernel and resolve; frames are bit-identical to the staged
+render_gbuffers_vol for every pixel whose path terminates within budget
+(tested, tests/test_path_vol.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import LIGHTING_SCALE, MAX_TRACE_STEPS, NORMAL_SKY, ROOT_BLOCK_SIZE
+from . import shading
+from .trace_jax import MATERIAL_MASK, camera_rays, frame_noise, _normalize
+from .trace_vol_pallas import (
+    _make_vol_kernel,
+    _occupancy_world_bounds,
+    resolve_mixed,
+)
+
+_HALF = ROOT_BLOCK_SIZE // 2  # 128
+_N = ROOT_BLOCK_SIZE  # 256
+LANES = 128
+
+# Path meta word (i32).  Bits 0-5 are the trace-transient low word shared
+# with trace_vol_pallas (done, air, entry normal, parked) so the kernel
+# merge and resolve_mixed operate on it unchanged; the path fields above
+# survive both because each round reassembles (meta & ~63) | (low & 63).
+#   bit 0      current leg done
+#   bit 1      current leg ended as air
+#   bits 2-4   current entry-face normal id
+#   bit 5      parked in a mixed brick (kernel -> resolve handoff)
+#   bits 6-8   leg: 0 prim, 1 sun1, 2 dif1, 3 sun2, 4 dif2, 5 path done
+#   bits 9-11  primary hit normal id
+#   bits 12-14 dif1 hit normal id (basis of the dif2 direction)
+#   bit 15     primary reached sky
+#   bits 16-19 sun1 / dif1 / sun2 / dif2 reached sky
+_LOW = 63
+_LEG_SHIFT = 6
+_INERT = (5 << _LEG_SHIFT) | 1  # empty-slot filler: done, path complete
+
+# Round-narrowing schedule: (view reduction R, round budget) pairs; the
+# last feasible level receives the whole remaining budget.  Full-width
+# rounds cover the primary leg and the first bounce wave; deeper levels
+# hold the decaying live curve (paths complete legs at different rates)
+# and the grazing-skimmer tail at 1/16 width.  A level is skipped when
+# the grid doesn't divide by R (tiny frames); its budget folds into the
+# next feasible level.
+PATH_LEVELS = ((1, 4), (2, 3), (4, 4), (8, 6), (16, None))
+
+_STATE = (
+    "x", "y", "z", "dx", "dy", "dz", "meta",
+    "ax", "ay", "az", "prim_lin", "dif1_lin", "prim_dist",
+)
+_INV = (
+    "sd1x", "sd1y", "sd1z", "sd2x", "sd2y", "sd2z",
+    "sp1x", "sp1y", "sp1z", "sp2x", "sp2y", "sp2z",
+)
+
+
+def _leg_of(meta):
+    return (meta >> _LEG_SHIFT) & 7
+
+
+def _transition(st, inv, origin_u, legs):
+    """Start the next leg for rays whose current leg completed this round.
+
+    Runs in XLA on the round's (possibly slotted) view.  Reads the
+    completion state the kernel/resolve left in the low meta bits, records
+    the per-leg result bits, and rewrites position/direction for the next
+    leg — matching trace_jax.integrate_gbuffers leg-for-leg: sun1 and dif1
+    launch from the nudged primary hit (the anchor), sun2 and dif2 from
+    the nudged dif1 hit, directions from the planar-precomputed jittered
+    sun vectors and unit-sphere points + recorded hit normals.
+    """
+    meta = st["meta"]
+    leg = _leg_of(meta)
+    done = (meta & 1) == 1
+    air = ((meta >> 1) & 1) == 1
+    nrm = (meta >> 2) & 7
+    comp = done & (leg < 5)
+
+    x, y, z = st["x"], st["y"], st["z"]
+    # Pre-nudge hit voxel (toroidal), recorded for the final material pass.
+    ti = [
+        jnp.remainder(jnp.floor(v + jnp.float32(_HALF)).astype(jnp.int32), _N)
+        for v in (x, y, z)
+    ]
+    lin = (ti[2] * _N + ti[1]) * _N + ti[0]
+    # Nudged position: the next leg's launch point (raytrace.comp:166-180).
+    nxv, nyv, nzv = shading.face_normal_vector(jnp, nrm)
+    hx = x + jnp.float32(0.001) * nxv
+    hy = y + jnp.float32(0.001) * nyv
+    hz = z + jnp.float32(0.001) * nzv
+
+    is0 = leg == 0
+    is1 = leg == 1
+    is2 = leg == 2
+    is3 = leg == 3
+    is4 = leg == 4
+    prim_hit = comp & is0 & ~air
+    dif1_hit = comp & is2 & ~air
+
+    zero = jnp.zeros_like(meta)
+    m = meta
+    m = m | jnp.where(prim_hit, nrm << 9, zero)
+    m = m | jnp.where(comp & is0 & air, jnp.int32(1 << 15), zero)
+    m = m | jnp.where(comp & is1 & air, jnp.int32(1 << 16), zero)
+    m = m | jnp.where(dif1_hit, nrm << 12, zero)
+    m = m | jnp.where(comp & is2 & air, jnp.int32(1 << 17), zero)
+    m = m | jnp.where(comp & is3 & air, jnp.int32(1 << 18), zero)
+    m = m | jnp.where(comp & is4 & air, jnp.int32(1 << 19), zero)
+
+    # Next leg: 0 -> 1 on hit / 5 on air; 1 -> 2; 2 -> 3 on hit / 5 on
+    # air; 3 -> 4; 4 -> 5; capped at `legs` for reduced-bounce presets
+    # (bounces=0 -> 1 leg, bounces=1 -> 3).
+    nleg = jnp.where(
+        is0, jnp.where(air, 5, 1),
+        jnp.where(
+            is1, 2,
+            jnp.where(is2, jnp.where(air, 5, 3), jnp.where(is3, 4, 5)),
+        ),
+    )
+    if legs < 5:
+        nleg = jnp.where(nleg >= legs, 5, nleg)
+    nleg = jnp.where(comp, nleg, leg)
+    cont = comp & (nleg < 5)
+    m = (m & ~(7 << _LEG_SHIFT)) | (nleg << _LEG_SHIFT)
+    m = jnp.where(cont, m & ~_LOW, m)  # fresh leg: clear transient bits
+
+    start_sun1 = cont & is0
+    start_dif1 = cont & is1
+    start_sun2 = cont & is2
+    start_dif2 = cont & is3
+
+    # Bounce directions from the recorded hit normals (already written
+    # above for rays that just hit) + the planar unit-sphere points.
+    pn = (m >> 9) & 7
+    dn = (m >> 12) & 7
+    d1x, d1y, d1z = shading.diffuse_from_sphere(
+        jnp, (inv["sp1x"], inv["sp1y"], inv["sp1z"]), pn
+    )
+    d2x, d2y, d2z = shading.diffuse_from_sphere(
+        jnp, (inv["sp2x"], inv["sp2y"], inv["sp2z"]), dn
+    )
+
+    def pick4(a, b, c, d, old):
+        return jnp.where(
+            start_sun1, a,
+            jnp.where(start_dif1, b, jnp.where(start_sun2, c, jnp.where(start_dif2, d, old))),
+        )
+
+    ndx = pick4(inv["sd1x"], d1x, inv["sd2x"], d2x, st["dx"])
+    ndy = pick4(inv["sd1y"], d1y, inv["sd2y"], d2y, st["dy"])
+    ndz = pick4(inv["sd1z"], d1z, inv["sd2z"], d2z, st["dz"])
+    npx = pick4(hx, st["ax"], hx, st["ax"], x)
+    npy = pick4(hy, st["ay"], hy, st["ay"], y)
+    npz = pick4(hz, st["az"], hz, st["az"], z)
+
+    set_anchor = prim_hit | dif1_hit
+    dist = jnp.sqrt(
+        (hx - origin_u[0]) ** 2
+        + (hy - origin_u[1]) ** 2
+        + (hz - origin_u[2]) ** 2
+    )
+    return dict(
+        x=npx, y=npy, z=npz, dx=ndx, dy=ndy, dz=ndz, meta=m,
+        ax=jnp.where(set_anchor, hx, st["ax"]),
+        ay=jnp.where(set_anchor, hy, st["ay"]),
+        az=jnp.where(set_anchor, hz, st["az"]),
+        prim_lin=jnp.where(prim_hit, lin, st["prim_lin"]),
+        dif1_lin=jnp.where(dif1_hit, lin, st["dif1_lin"]),
+        prim_dist=jnp.where(prim_hit, dist, st["prim_dist"]),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "max_steps", "rows", "interpret", "bounces",
+        "cap", "rounds", "tile_rows", "levels",
+    ),
+)
+def render_gbuffers_path(
+    fused_flat: jax.Array,
+    tables: dict,
+    blue_noise: jax.Array,
+    uniforms: dict,
+    width: int,
+    height: int,
+    max_steps: int = MAX_TRACE_STEPS,
+    row0=0,
+    rows: int | None = None,
+    interpret: bool | None = None,
+    bounces: int = 2,
+    cap: int = 96,
+    rounds: int | None = None,
+    tile_rows: int = 16,
+    levels: tuple = PATH_LEVELS,
+) -> dict[str, jax.Array]:
+    """G-buffers for arbitrary volume content via the whole-path loop.
+
+    Drop-in for trace_vol_pallas.render_gbuffers_vol (same G-buffer dict,
+    same hit semantics; see module docstring for the architecture and the
+    exhaustion contract).  `levels` is the round-narrowing schedule.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    legs = {0: 1, 1: 3, 2: 5}[bounces]
+    if rounds is None:
+        rounds = legs * max(1, -(-max_steps // cap))
+
+    n_rows = height if rows is None else rows
+    origin, ray_dir = camera_rays(uniforms, width, height, row0, n_rows)
+    noise1, noise2 = frame_noise(
+        blue_noise, uniforms["seed"], width, height, row0, rows
+    )
+
+    sun = shading.sun_direction(jnp, uniforms["sun_angle"])
+    sunlight = shading.sun_color(jnp, sun)
+
+    def sun_dir_from(noise):
+        d = jnp.stack(
+            [
+                sun[0] + noise[..., 0] * jnp.float32(0.05),
+                sun[1] + noise[..., 1] * jnp.float32(0.05),
+                jnp.broadcast_to(sun[2], noise[..., 0].shape),
+            ],
+            -1,
+        )
+        return _normalize(d)
+
+    sd1 = sun_dir_from(noise1)
+    sd2 = sun_dir_from(noise2)
+    sp1 = shading.sphere_point(jnp, noise1[..., 0], noise1[..., 1])
+    sp2 = shading.sphere_point(jnp, noise2[..., 0], noise2[..., 1])
+
+    n = n_rows * width
+    per_tile = tile_rows * LANES
+    n_pad = -(-n // per_tile) * per_tile
+    grid = n_pad // per_tile
+    rows_t = grid * tile_rows
+
+    def flat(x, pad_value=0.0):
+        f = jnp.asarray(x, jnp.float32).reshape(n)
+        f = jnp.pad(f, (0, n_pad - n), constant_values=pad_value)
+        return f.reshape(rows_t, LANES)
+
+    st = dict(
+        x=flat(origin[..., 0]),
+        y=flat(origin[..., 1]),
+        z=flat(origin[..., 2], 1e9),  # pad rays born OOB -> leg 5 fast
+        dx=flat(ray_dir[..., 0]),
+        dy=flat(ray_dir[..., 1]),
+        dz=flat(ray_dir[..., 2], 1.0),
+        meta=jnp.zeros((rows_t, LANES), jnp.int32),
+        ax=jnp.zeros((rows_t, LANES), jnp.float32),
+        ay=jnp.zeros((rows_t, LANES), jnp.float32),
+        az=jnp.zeros((rows_t, LANES), jnp.float32),
+        prim_lin=jnp.full((rows_t, LANES), -1, jnp.int32),
+        dif1_lin=jnp.full((rows_t, LANES), -1, jnp.int32),
+        prim_dist=jnp.zeros((rows_t, LANES), jnp.float32),
+    )
+    inv = dict(
+        sd1x=flat(sd1[..., 0]), sd1y=flat(sd1[..., 1]), sd1z=flat(sd1[..., 2], 1.0),
+        sd2x=flat(sd2[..., 0]), sd2y=flat(sd2[..., 1]), sd2z=flat(sd2[..., 2], 1.0),
+        sp1x=flat(sp1[0]), sp1y=flat(sp1[1]), sp1z=flat(sp1[2], 1.0),
+        sp2x=flat(sp2[0]), sp2y=flat(sp2[1]), sp2z=flat(sp2[2], 1.0),
+    )
+
+    lri = uniforms["lr"].astype(jnp.int32)
+    occ_bounds = _occupancy_world_bounds(tables["any8b"], lri)
+    iscal = jnp.concatenate([lri, occ_bounds, jnp.zeros(1, jnp.int32)])
+    detail = tables["detail"]
+    origin_u = uniforms["origin"].astype(jnp.float32)
+
+    ray_spec = pl.BlockSpec(
+        (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    table_spec = lambda t: pl.BlockSpec(
+        t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    def one_round(vst, vinv):
+        """kernel pass -> mixed-brick resolve -> leg transition, on a
+        (rows_v, LANES) view."""
+        rows_v = vst["x"].shape[0]
+        grid_v = rows_v // tile_rows
+        n_v = rows_v * LANES
+        outf = jax.ShapeDtypeStruct((rows_v, LANES), jnp.float32)
+        outi = jax.ShapeDtypeStruct((rows_v, LANES), jnp.int32)
+        meta = vst["meta"]
+        fin = _leg_of(meta) >= 5
+        iz = jnp.where(fin, jnp.float32(1e9), vst["z"])
+        idz = jnp.where(fin, jnp.float32(1.0), vst["dz"])
+
+        kernel = _make_vol_kernel(tile_rows, cap)
+        px, py, pz, nrm, status = pl.pallas_call(
+            kernel,
+            grid=(grid_v,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [ray_spec] * 7
+            + [
+                table_spec(tables["any8"]),
+                table_spec(tables["all8"]),
+                table_spec(tables["any_hi"]),
+            ],
+            out_specs=[ray_spec] * 5,
+            out_shape=[outf, outf, outf, outi, outi],
+            interpret=interpret,
+        )(
+            iscal, vst["x"], vst["y"], iz, vst["dx"], vst["dy"], idz,
+            (meta >> 2) & 7,
+            tables["any8"], tables["all8"], tables["any_hi"],
+        )
+        low = jnp.where(
+            status == 0, (nrm & 7) << 2, ((nrm & 7) << 2) | status
+        )
+        meta = jnp.where(fin, meta, (meta & ~_LOW) | low)
+        x = jnp.where(fin, vst["x"], px)
+        y = jnp.where(fin, vst["y"], py)
+        z = jnp.where(fin, vst["z"], pz)
+
+        fx, fy, fz, _, fmeta = resolve_mixed(
+            detail,
+            x.reshape(n_v), y.reshape(n_v), z.reshape(n_v),
+            vst["dx"].reshape(n_v), vst["dy"].reshape(n_v),
+            vst["dz"].reshape(n_v),
+            (meta.reshape(n_v) >> 2) & 7,
+            meta.reshape(n_v), lri,
+        )
+        # resolve_mixed rewrites the whole word for parked rays;
+        # reassemble to preserve the path fields.
+        meta = (meta & ~_LOW) | (fmeta.reshape(rows_v, LANES) & _LOW)
+
+        nst = dict(
+            vst,
+            x=fx.reshape(rows_v, LANES),
+            y=fy.reshape(rows_v, LANES),
+            z=fz.reshape(rows_v, LANES),
+            meta=meta,
+        )
+        return _transition(nst, vinv, origin_u, legs)
+
+    # --- level loop: full-width rounds, then slotted-view rounds -------
+    feasible = [
+        (R, b) for R, b in levels if grid % R == 0 and grid // R >= 1
+    ]
+    if not feasible:
+        feasible = [(1, None)]
+    consumed = 0
+    for li, (R, budget) in enumerate(feasible):
+        last = li == len(feasible) - 1
+        level = (rounds - consumed) if (budget is None or last) else min(
+            budget, rounds - consumed
+        )
+        if level <= 0:
+            continue
+        rows_v = rows_t // R
+
+        if R == 1:
+            def body(s):
+                nst = one_round(
+                    {k: s[k] for k in _STATE}, inv
+                )
+                return dict(nst, r=s["r"] + 1)
+
+            def cond(s):
+                return (s["r"] < level) & jnp.any(_leg_of(s["meta"]) < 5)
+
+            out = jax.lax.while_loop(
+                cond, body, dict(st, r=jnp.int32(0))
+            )
+            st = {k: out[k] for k in _STATE}
+        else:
+            # Slotted view: position (i, l) of the view considers rays
+            # {(i, l), (i + rows_v, l), ...} and takes the first live one;
+            # collisions wait in place and are selected on a later round
+            # (they re-enter at their resume state — the marches are
+            # memoryless in position/direction).
+            def pick(v, sel):
+                vv = v.reshape(R, rows_v, LANES)
+                out = vv[0]
+                for k in range(1, R):
+                    out = jnp.where(sel == k, vv[k], out)
+                return out
+
+            def put(v, new, sel, got):
+                vv = v.reshape(R, rows_v, LANES)
+                merged = [
+                    jnp.where(got & (sel == k), new, vv[k])
+                    for k in range(R)
+                ]
+                return jnp.stack(merged, 0).reshape(rows_t, LANES)
+
+            def body(s, R=R, rows_v=rows_v, pick=pick, put=put):
+                live = (_leg_of(s["meta"]) < 5).reshape(R, rows_v, LANES)
+                sel = jnp.argmax(live, axis=0)
+                got = jnp.any(live, axis=0)
+                vst = {k: pick(s[k], sel) for k in _STATE}
+                vst["meta"] = jnp.where(got, vst["meta"], jnp.int32(_INERT))
+                vinv = {k: pick(inv[k], sel) for k in _INV}
+                nst = one_round(vst, vinv)
+                merged = {
+                    k: put(s[k], nst[k], sel, got) for k in _STATE
+                }
+                return dict(merged, r=s["r"] + 1)
+
+            def cond(s):
+                return (s["r"] < level) & jnp.any(_leg_of(s["meta"]) < 5)
+
+            out = jax.lax.while_loop(
+                cond, body, dict(st, r=jnp.int32(0))
+            )
+            st = {k: out[k] for k in _STATE}
+        consumed += level
+        if last:
+            break
+
+    # --- final planar pass: radiance + G-buffers -----------------------
+    def unflat(v):
+        return v.reshape(n_pad)[:n].reshape(n_rows, width)
+
+    meta = unflat(st["meta"])
+    leg = _leg_of(meta)
+    prim_air = ((meta >> 15) & 1) == 1
+    sun1_air = ((meta >> 16) & 1) == 1
+    dif1_air = ((meta >> 17) & 1) == 1
+    sun2_air = ((meta >> 18) & 1) == 1
+    dif2_air = ((meta >> 19) & 1) == 1
+    pn = (meta >> 9) & 7
+    dn = (meta >> 12) & 7
+    prim_lin = unflat(st["prim_lin"])
+    dif1_lin = unflat(st["dif1_lin"])
+    prim_dist = unflat(st["prim_dist"])
+    hit1 = prim_lin >= 0
+    prim_exhausted = (leg == 0) & ~prim_air & ~hit1
+
+    def albedo_at(lin_idx, valid):
+        """Packed-material albedo via an 8-word ROW gather around the hit
+        voxel + an in-register 8-way select (2.6x faster per row than the
+        per-element gather it replaces; see module docstring)."""
+        safe = jnp.where(valid, lin_idx, 0)
+        base = safe >> 3
+        rows8 = fused_flat.reshape(-1, 8)[base]  # (..., 8) row gather
+        word = jnp.take_along_axis(
+            rows8, (safe & 7)[..., None], axis=-1
+        )[..., 0]
+        packed = jnp.where(valid, word & jnp.uint32(MATERIAL_MASK), 0)
+        return jnp.stack(
+            [
+                ((packed >> 14) & 0x7F).astype(jnp.float32) / 127.0,
+                ((packed >> 7) & 0x7F).astype(jnp.float32) / 127.0,
+                (packed & 0x7F).astype(jnp.float32) / 127.0,
+            ],
+            axis=-1,
+        )
+
+    albedo1 = albedo_at(prim_lin, hit1)
+    albedo2 = albedo_at(dif1_lin, dif1_lin >= 0)
+
+    sunlight_vec = jnp.stack(sunlight)
+
+    def sky(d, include_sun):
+        r, g, b = shading.sample_sky(
+            jnp, (d[..., 0], d[..., 1], d[..., 2]), sun, sunlight,
+            include_sun,
+        )
+        r, g, b = jnp.broadcast_arrays(r, g, b)
+        return jnp.stack([r, g, b], -1)
+
+    light_hit = jnp.zeros(ray_dir.shape, jnp.float32)
+    if legs >= 3:
+        d1 = jnp.stack(
+            shading.diffuse_from_sphere(
+                jnp,
+                (unflat(inv["sp1x"]), unflat(inv["sp1y"]), unflat(inv["sp1z"])),
+                pn,
+            ),
+            -1,
+        )
+        light_hit = jnp.where(
+            sun1_air[..., None], sunlight_vec[None, None], 0.0
+        )
+        light_hit = light_hit + jnp.where(
+            dif1_air[..., None], sky(d1, True), 0.0
+        )
+    if legs >= 5:
+        d2 = jnp.stack(
+            shading.diffuse_from_sphere(
+                jnp,
+                (unflat(inv["sp2x"]), unflat(inv["sp2y"]), unflat(inv["sp2z"])),
+                dn,
+            ),
+            -1,
+        )
+        light2 = jnp.where(
+            sun2_air[..., None], sunlight_vec[None, None], 0.0
+        )
+        light2 = light2 + jnp.where(dif2_air[..., None], sky(d2, True), 0.0)
+        light2 = light2 * albedo2
+        light_hit = light_hit + jnp.where(dif1_air[..., None], 0.0, light2)
+
+    hit_mask = hit1
+    light = jnp.where(hit_mask[..., None], light_hit, sky(ray_dir, True))
+
+    depth = jnp.where(
+        prim_air,
+        jnp.uint32(0xFFFF),
+        jnp.minimum(prim_dist * 32.0, jnp.float32(0xFFFF)).astype(jnp.uint32),
+    ).astype(jnp.uint16)
+
+    fog = sky(ray_dir, False) / 2.0
+    fog = jnp.where(
+        prim_exhausted[..., None], jnp.array([1.0, 0.0, 1.0], jnp.float32),
+        fog,
+    )
+    depth = jnp.where(prim_exhausted, jnp.uint16(256 * 254), depth)
+
+    return {
+        "lighting": light / jnp.float32(LIGHTING_SCALE),
+        "depth": depth,
+        "normal": jnp.where(
+            prim_air, jnp.int32(NORMAL_SKY), pn
+        ).astype(jnp.uint8),
+        "albedo": jnp.where(hit_mask[..., None], albedo1, 1.0),
+        "emission": jnp.zeros_like(light),
+        "fog": fog,
+    }

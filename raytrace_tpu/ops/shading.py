@@ -99,14 +99,29 @@ def sphere_point(xp, noise_r, noise_g):
 
 
 def diffuse_from_sphere(xp, sp, normal_id):
-    """Sphere point + hit face's outward normal, normalized (:204-212)."""
+    """Sphere point + hit face's outward normal, normalized (:204-212).
+
+    Degenerate guard: the blue-noise texture contains exact 255/255 = 1.0
+    values, so sphere_point can return exactly -n for a face normal n and
+    the sum cancels to the zero vector.  The reference's
+    normalize(vec3(0)) is NaN/undefined (raytrace.comp:204-212) and a
+    NaN ray never terminates (every comparison is false — it silently
+    burns the whole step budget); here the limit direction is the face
+    normal itself, which is both defined and the physical limit of the
+    cosine-ish lobe as the sample approaches the antipode.
+    """
     nx, ny, nz = face_normal_vector(xp, normal_id)
     dx = sp[0] + nx
     dy = sp[1] + ny
     dz = sp[2] + nz
     norm = xp.sqrt(dx * dx + dy * dy + dz * dz)
+    degenerate = norm < 1e-6
     norm = xp.maximum(norm, 1e-20)
-    return dx / norm, dy / norm, dz / norm
+    return (
+        xp.where(degenerate, nx, dx / norm),
+        xp.where(degenerate, ny, dy / norm),
+        xp.where(degenerate, nz, dz / norm),
+    )
 
 
 def diffuse_direction(xp, noise_r, noise_g, normal_id):

@@ -217,6 +217,54 @@ def render_gbuffers(
     )
 
 
+def frame_noise(
+    blue_noise: jax.Array, seed: jax.Array, width: int, height: int,
+    row0=0, rows: int | None = None,
+):
+    """Per-pixel blue-noise planes (noise1, noise2) for one frame.
+
+    The reference samples the noise texture at pixel + per-frame offset
+    (raytrace.comp:298-304, second fetch at +2 texels for the second
+    bounce); here the modular lookup is a roll + tile (XLA's per-element
+    gather is ~85 M/s on TPU; this is free).  `row0`/`rows` select a band
+    of image rows (multi-chip tile split); row0 may be traced.
+    """
+    nh, nw = blue_noise.shape[0], blue_noise.shape[1]
+    n_rows = height if rows is None else rows
+    seed = jnp.asarray(seed, jnp.int32)
+    # Round (not floor): the texture holds k/255 quantized to f32, and
+    # k/255*255 can land an ulp below k depending on who did the division;
+    # rounding makes the offset independent of that (raytrace.comp:302-303).
+    off_x = jnp.floor(blue_noise[seed // nw % nh, seed % nw, 0] * 255.0 + 0.5).astype(jnp.int32)
+    off_y = jnp.floor(blue_noise[seed // nw % nh, seed % nw, 1] * 255.0 + 0.5).astype(jnp.int32)
+    if isinstance(row0, int) and row0 == 0 and n_rows == height:
+        # Full-frame fast path.
+        base = jnp.roll(blue_noise, (-off_y, -off_x), (0, 1))
+        reps_y = -(-height // nh)
+        reps_x = -(-width // nw)
+        tiled = jnp.tile(base, (reps_y, reps_x, 1))
+        noise1 = tiled[:height, :width]
+        base2 = jnp.roll(blue_noise, (-off_y - 2, -off_x - 2), (0, 1))
+        noise2 = jnp.tile(base2, (reps_y, reps_x, 1))[:height, :width]
+    else:
+        # Row-band path: same roll+tile construction with a dynamic row
+        # slice (row0 may be a traced lax.axis_index value).
+        reps_y = -(-n_rows // nh) + 1
+        reps_x = -(-width // nw)
+        r0m = jnp.remainder(jnp.asarray(row0, jnp.int32), nh)
+
+        def band_noise(dy, dx):
+            base = jnp.roll(blue_noise, (-off_y - dy, -off_x - dx), (0, 1))
+            strip = jnp.tile(base, (reps_y, reps_x, 1))
+            return jax.lax.dynamic_slice(
+                strip, (r0m, 0, 0), (n_rows, strip.shape[1], strip.shape[2])
+            )[:, :width]
+
+        noise1 = band_noise(0, 0)
+        noise2 = band_noise(2, 2)
+    return noise1, noise2
+
+
 def integrate_gbuffers(
     trace,
     blue_noise: jax.Array,
@@ -237,7 +285,6 @@ def integrate_gbuffers(
     reference's full path (benchmark configs; reference always uses 2).
     Returns lighting/(H,W,3), depth u16, normal u8, albedo, emission, fog.
     """
-    nh, nw = blue_noise.shape[0], blue_noise.shape[1]
     n_rows = height if rows is None else rows
     origin, ray_dir = camera_rays(uniforms, width, height, row0, n_rows)
 
@@ -246,40 +293,9 @@ def integrate_gbuffers(
     sunlight = shading.sun_color(jnp, sun)
     sunlight_vec = jnp.stack(sunlight)
 
-    seed = uniforms["seed"].astype(jnp.int32)
-    # Round (not floor): the texture holds k/255 quantized to f32, and
-    # k/255*255 can land an ulp below k depending on who did the division;
-    # rounding makes the offset independent of that (raytrace.comp:302-303).
-    off_x = jnp.floor(blue_noise[seed // nw % nh, seed % nw, 0] * 255.0 + 0.5).astype(jnp.int32)
-    off_y = jnp.floor(blue_noise[seed // nw % nh, seed % nw, 1] * 255.0 + 0.5).astype(jnp.int32)
-    if isinstance(row0, int) and row0 == 0 and n_rows == height:
-        # Full-frame fast path: the modular noise lookup is a roll + tile
-        # (XLA's per-element gather is ~85 M/s on TPU; this is free).
-        base = jnp.roll(blue_noise, (-off_y, -off_x), (0, 1))
-        reps_y = -(-height // nh)
-        reps_x = -(-width // nw)
-        tiled = jnp.tile(base, (reps_y, reps_x, 1))
-        noise1 = tiled[:height, :width]
-        base2 = jnp.roll(blue_noise, (-off_y - 2, -off_x - 2), (0, 1))
-        noise2 = jnp.tile(base2, (reps_y, reps_x, 1))[:height, :width]
-    else:
-        # Row-band path (multi-chip tiles, partial renders): same roll+tile
-        # construction with a dynamic row slice — row0 may be a traced value
-        # (lax.axis_index), and per-element modular gathers are ~85 M/s on
-        # TPU while this is pure tiling.
-        reps_y = -(-n_rows // nh) + 1
-        reps_x = -(-width // nw)
-        r0m = jnp.remainder(jnp.asarray(row0, jnp.int32), nh)
-
-        def band_noise(dy, dx):
-            base = jnp.roll(blue_noise, (-off_y - dy, -off_x - dx), (0, 1))
-            strip = jnp.tile(base, (reps_y, reps_x, 1))
-            return jax.lax.dynamic_slice(
-                strip, (r0m, 0, 0), (n_rows, strip.shape[1], strip.shape[2])
-            )[:, :width]
-
-        noise1 = band_noise(0, 0)
-        noise2 = band_noise(2, 2)
+    noise1, noise2 = frame_noise(
+        blue_noise, uniforms["seed"], width, height, row0, rows
+    )
 
     def sky(d, include_sun):
         r, g, b = shading.sample_sky(

@@ -244,10 +244,10 @@ def _render_frame_tiled_impl(
                 row0=row0, rows=band,
             )
         elif tracer == "volume_fast":
-            from ..ops.trace_vol_pallas import render_gbuffers_vol
+            from ..ops.path_vol import render_gbuffers_path
 
             fused_flat, vol_tables = vol
-            gb = render_gbuffers_vol(
+            gb = render_gbuffers_path(
                 fused_flat, vol_tables, bn, uni, width, height, max_steps,
                 row0=row0, rows=band,
             )

@@ -120,10 +120,10 @@ def _render_frame_impl(
             bounces=bounces,
         )
     elif tracer == "volume_fast":
-        from ..ops.trace_vol_pallas import render_gbuffers_vol
+        from ..ops.path_vol import render_gbuffers_path
 
         fused_flat, vol_tables = world
-        gb = render_gbuffers_vol(
+        gb = render_gbuffers_path(
             fused_flat, vol_tables, blue_noise, uniforms, width, height,
             max_steps, bounces=bounces,
         )

@@ -1,0 +1,193 @@
+"""Whole-path volume renderer tests (ops/path_vol.py).
+
+The defining contract: render_gbuffers_path produces the SAME frames as
+the staged pipeline (trace_vol_pallas.render_gbuffers_vol -> trace_jax
+integrate_gbuffers) — the marches are memoryless in (position,
+direction), the leg sequencing matches integrate_gbuffers leg-for-leg,
+and the final planar shade pass uses the same formulas on the same
+planar noise — so every pixel whose path terminates within budget is
+bit-identical.  Interpret mode on CPU.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from raytrace_tpu.materials import PACKED_MATERIALS
+from raytrace_tpu.ops.trace_jax import fuse_volume
+from raytrace_tpu.ops.path_vol import render_gbuffers_path
+from raytrace_tpu.ops.trace_vol_pallas import (
+    build_vol_tables,
+    render_gbuffers_vol,
+)
+from raytrace_tpu.render.camera import Camera
+from raytrace_tpu.utils.blue_noise import get_blue_noise_f32
+from raytrace_tpu.world.chunk import minefield_from_solid
+
+LR = jnp.zeros(3, jnp.int32)
+
+
+def _fuse(solid, material_id=5):
+    mats = np.where(
+        solid, np.uint32(PACKED_MATERIALS[material_id]), np.uint32(0)
+    )
+    mf = np.asarray(minefield_from_solid(jnp.asarray(solid)))
+    return fuse_volume(jnp.asarray(mats), jnp.asarray(mf))
+
+
+@pytest.fixture(scope="module")
+def weird_world():
+    """Content impossible for the heightfield tracer: slab + floating box +
+    a cave tunnel under the surface (same scene as test_trace_vol)."""
+    solid = np.zeros((256, 256, 256), bool)
+    solid[:100] = True
+    solid[140:150, 120:140, 120:140] = True
+    solid[90:100, 128:132, 128:132] = False
+    fused = _fuse(solid)
+    return fused, build_vol_tables(fused)
+
+
+def _uniforms(origin, pitch, sun=0.6, seed=7):
+    cam = Camera(origin=list(origin))
+    cam.pitch = pitch
+    fwd, up, right = cam.scaled_basis()
+    return dict(
+        origin=jnp.asarray(cam.origin, jnp.float32),
+        forward=jnp.asarray(fwd, jnp.float32),
+        up=jnp.asarray(up, jnp.float32),
+        right=jnp.asarray(right, jnp.float32),
+        sun_angle=jnp.float32(sun),
+        seed=jnp.int32(seed),
+        lr=jnp.asarray(LR, jnp.float32),
+    )
+
+
+# Budget for exact comparisons: big enough that NO ray exhausts in either
+# pipeline (grazing diffuse rays along the flat slab top park at every
+# surface brick — up to ~32 rounds; the staged per-leg budget is
+# ceil(max_steps / 96)).  With exhaustion out of the picture the two
+# pipelines trace identical marches.
+_STEPS = 4096
+
+
+def _frames(fused, tables, uni, size, bounces, **kw):
+    bn = jnp.asarray(get_blue_noise_f32())
+    staged = render_gbuffers_vol(
+        fused, tables, bn, uni, size, size, _STEPS, bounces=bounces
+    )
+    got = render_gbuffers_path(
+        fused, tables, bn, uni, size, size, _STEPS, bounces=bounces, **kw
+    )
+    return (
+        {k: np.asarray(v) for k, v in staged.items()},
+        {k: np.asarray(v) for k, v in got.items()},
+    )
+
+
+def _assert_frames_equal(staged, got):
+    """Discrete G-buffers (depth, normal) bit-equal; radiometric buffers
+    to float32-ulp tolerance — the two pipelines are different jitted
+    programs, so XLA may contract the shared sky/sun formulas with
+    different fma groupings (measured: 1-ulp differences on ~0.2% of
+    pixels, everything else bit-equal)."""
+    for k in ("depth", "normal"):
+        np.testing.assert_array_equal(got[k], staged[k], err_msg=k)
+    for k in ("lighting", "albedo", "emission", "fog"):
+        np.testing.assert_allclose(
+            got[k], staged[k], rtol=1e-5, atol=1e-6, err_msg=k
+        )
+
+
+@pytest.mark.parametrize("bounces", [0, 1, 2])
+def test_matches_staged_pipeline(weird_world, bounces):
+    fused, tables = weird_world
+    uni = _uniforms((0.0, -80.0, 40.0), -0.4)
+    staged, got = _frames(fused, tables, uni, 32, bounces)
+    exhausted = staged["depth"] == 256 * 254
+    assert not exhausted.any()
+    # Scene sanity: both sky and terrain visible.
+    assert (staged["depth"] == 0xFFFF).any()
+    assert (staged["depth"] != 0xFFFF).any()
+    _assert_frames_equal(staged, got)
+
+
+def test_matches_staged_from_inside_cave(weird_world):
+    """Camera inside the cave tunnel: all-hit frame, bounce-heavy."""
+    fused, tables = weird_world
+    uni = _uniforms((1.0, 1.0, -33.0), -0.1)
+    staged, got = _frames(fused, tables, uni, 24, 2)
+    _assert_frames_equal(staged, got)
+
+
+def test_slotted_levels_identical(weird_world):
+    """Narrow slotted views (R up to the grid size) must not change any
+    pixel: collisions only delay rays, never reorder results.  A delayed
+    ray sees fewer rounds, so the budget must be generous enough that no
+    path exhausts in either variant (the documented contract: slotting
+    can exhaust a ray EARLIER than the plain loop, never later — at a
+    tight budget exactly one grazing pixel in this scene does)."""
+    fused, tables = weird_world
+    uni = _uniforms((0.0, -80.0, 40.0), -0.4)
+    bn = jnp.asarray(get_blue_noise_f32())
+    # 64x64 = 4096 rays = 2 tiles -> grid 2 admits R=2.
+    base = {
+        k: np.asarray(v)
+        for k, v in render_gbuffers_path(
+            fused, tables, bn, uni, 64, 64, _STEPS, bounces=2,
+            levels=((1, None),),
+        ).items()
+    }
+    slotted = {
+        k: np.asarray(v)
+        for k, v in render_gbuffers_path(
+            fused, tables, bn, uni, 64, 64, _STEPS, bounces=2,
+            levels=((1, 2), (2, None)),
+        ).items()
+    }
+    assert not (base["depth"] == 256 * 254).any()
+    assert not (slotted["depth"] == 256 * 254).any()
+    for k in base:
+        np.testing.assert_array_equal(slotted[k], base[k], err_msg=k)
+
+
+def test_exhaustion_reports_pink(weird_world):
+    """A tiny round budget cuts primary legs mid-flight: the REPORT_ERROR
+    analog (pink fog, near-max depth) must fire and the frame stay
+    finite."""
+    fused, tables = weird_world
+    uni = _uniforms((0.0, -80.0, 12.0), -0.02)  # grazing the slab surface
+    bn = jnp.asarray(get_blue_noise_f32())
+    gb = render_gbuffers_path(
+        fused, tables, bn, uni, 24, 24, 512, bounces=2, rounds=1
+    )
+    depth = np.asarray(gb["depth"])
+    fog = np.asarray(gb["fog"])
+    assert (depth == 256 * 254).any()
+    pink = depth == 256 * 254
+    np.testing.assert_array_equal(
+        fog[pink], np.tile([1.0, 0.0, 1.0], (pink.sum(), 1))
+    )
+    for k, v in gb.items():
+        assert np.isfinite(np.asarray(v, np.float32)).all(), k
+
+
+def test_row_band_matches_full_frame(weird_world):
+    """row0/rows band rendering (the multi-chip tile split contract) must
+    reproduce the corresponding rows of the full frame bit-for-bit."""
+    fused, tables = weird_world
+    uni = _uniforms((0.0, -80.0, 40.0), -0.4)
+    bn = jnp.asarray(get_blue_noise_f32())
+    full = {
+        k: np.asarray(v)
+        for k, v in render_gbuffers_path(
+            fused, tables, bn, uni, 32, 32, 512, bounces=1
+        ).items()
+    }
+    band = {
+        k: np.asarray(v)
+        for k, v in render_gbuffers_path(
+            fused, tables, bn, uni, 32, 32, 512, bounces=1, row0=8, rows=16
+        ).items()
+    }
+    for k in full:
+        np.testing.assert_array_equal(band[k], full[k][8:24], err_msg=k)
