@@ -952,7 +952,20 @@ def trace_rays_vol(
 
     distance = jnp.linalg.norm(origin - pos, axis=-1)
     nxv, nyv, nzv = shading.face_normal_vector(jnp, normal)
-    pos = pos + jnp.float32(0.001) * jnp.stack([nxv, nyv, nzv], axis=-1)
+    # The 0.001 face-normal nudge belongs to HITS only (the reference
+    # nudges the hit point before launching secondary rays,
+    # raytrace.comp:166-180).  Exhausted (and air) rays return their RAW
+    # resume position: nudging them by the stale entry normal pushed the
+    # resume point ~0.001 back across the face just crossed, so any
+    # consumer chaining resume positions re-parked in the SAME brick
+    # forever at ~0.001/round — round 3's "never-terminating tail" was
+    # exactly this artifact (probes/out/r4_tail_forensics.log: stuck rays
+    # revisit one brick id every round while a raw-position replay
+    # marches straight through; the INTERNAL loop, which carries raw
+    # positions, converges in <= 4 rounds on world content).
+    pos = pos + jnp.where(hit[..., None], jnp.float32(0.001), 0.0) * jnp.stack(
+        [nxv, nyv, nzv], axis=-1
+    )
     albedo = jnp.stack(
         [
             ((packed >> 14) & 0x7F).astype(jnp.float32) / 127.0,

@@ -387,6 +387,43 @@ def test_pathological_content_reports_exhausted():
     assert np.isfinite(np.asarray(got["position"])).all()
 
 
+def test_exhausted_resume_positions_chain_to_completion():
+    """Exhausted rays must return their RAW resume position so a consumer
+    can chain rounds: the round-3 "never-terminating tail" was resume
+    positions being nudged 0.001 back across the face just crossed, which
+    re-parked chained rays in the same brick forever
+    (probes/out/r4_tail_forensics.log).
+
+    Content: one solid voxel at every brick's min corner — every brick is
+    mixed (parks every round) but a mid-brick grazing corridor never hits.
+    A rounds=1 trace exhausts; chaining the returned positions must make
+    at least one brick of progress per chain and finish as air."""
+    solid = np.zeros((256, 256, 256), bool)
+    solid[::8, ::8, ::8] = True
+    fused = _fuse(solid)
+    tables = build_vol_tables(fused)
+    o = jnp.asarray([[90.5, 12.5, 12.5]], jnp.float32)
+    d = jnp.asarray([[1.0, 0.0, 0.001]], jnp.float32)
+
+    full = trace_rays_vol(tables, fused, o, d, LR, interpret=True)
+    assert bool(full["air"][0]) and not bool(full["exhausted"][0])
+
+    pos = o
+    live = True
+    along = [float(pos[0, 0])]
+    for _ in range(12):
+        got = trace_rays_vol(tables, fused, pos, d, LR, interpret=True, rounds=1)
+        pos = got["position"]
+        along.append(float(pos[0, 0]))
+        if not bool(got["exhausted"][0]):
+            assert bool(got["air"][0])
+            live = False
+            break
+    assert not live, f"chained resume made no progress: x per chain = {along}"
+    # Strict forward progress along the ray every chained round.
+    assert all(b > a + 0.5 for a, b in zip(along, along[1:])), along
+
+
 def test_hit_albedo_matches_volume_material(weird_world):
     """The end-of-trace material gather must return exactly the hit voxel's
     packed albedo bits from the fused volume (toroidal addressing)."""
