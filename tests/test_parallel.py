@@ -166,6 +166,75 @@ def test_tiled_pallas_denoise_matches_single_device(world_volume):
 
 
 @pytest.mark.slow
+def test_tiled_production_shape_fused_matches_single_device():
+    """Production-configuration proof for the fused tracer: 512x2048 over
+    the FULL 8-device mesh with the real MAX_TRACE_STEPS budget, so each
+    256-row band is exactly 2*ROW_HALO and the per-band Pallas denoise
+    chain (one ppermute halo exchange) is the path exercised — the same
+    plan a 4K frame takes on an 8-chip mesh (270-row bands).  The 64^2
+    tests prove the math at toy shapes; this pins the production shape."""
+    from raytrace_tpu.constants import MAX_TRACE_STEPS
+    from raytrace_tpu.ops.denoise_pallas import denoise_chain_pallas
+    from raytrace_tpu.ops.lighting_pallas import render_gbuffers_fused
+    from raytrace_tpu.ops.trace_pallas import build_hf_tables
+    from raytrace_tpu.parallel import tiles
+
+    bn = jnp.asarray(get_blue_noise_f32())
+    uni = _uniforms()
+    W, H = 512, 2048
+    tables = build_hf_tables(jnp.zeros(3, jnp.int32), seed=0)
+
+    gb = render_gbuffers_fused(tables, bn, uni, W, H, MAX_TRACE_STEPS)
+    denoised = denoise_chain_pallas(gb["lighting"], gb["depth"], gb["normal"])
+    want = np.asarray(
+        finalize_frame(gb["albedo"], gb["emission"], gb["fog"], denoised, gb["depth"], bn)
+    )
+
+    mesh = make_tile_mesh(jax.devices()[:8])
+    assert H // 8 >= 2 * tiles.ROW_HALO  # the per-band Pallas plan engages
+    got = np.asarray(
+        render_frame_tiled(tables, bn, uni, W, H, mesh, MAX_TRACE_STEPS, tracer="fused")
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_tiled_production_shape_volume_fast_matches_single_device(world_volume):
+    """Production-configuration proof for the arbitrary-content tracer:
+    512x2048, 8 devices, real MAX_TRACE_STEPS, per-band Pallas denoise
+    engaged (256-row bands == 2*ROW_HALO)."""
+    from raytrace_tpu.constants import MAX_TRACE_STEPS
+    from raytrace_tpu.ops.denoise_pallas import denoise_chain_pallas
+    from raytrace_tpu.ops.path_vol import render_gbuffers_path
+    from raytrace_tpu.ops.trace_vol_pallas import build_vol_tables
+    from raytrace_tpu.parallel import tiles
+
+    mats, mf = world_volume
+    fused = fuse_volume(jnp.asarray(mats), jnp.asarray(mf))
+    tables = build_vol_tables(fused)
+    bn = jnp.asarray(get_blue_noise_f32())
+    uni = _uniforms()
+    W, H = 512, 2048
+
+    gb = render_gbuffers_path(fused, tables, bn, uni, W, H, MAX_TRACE_STEPS)
+    denoised = denoise_chain_pallas(gb["lighting"], gb["depth"], gb["normal"])
+    want = np.asarray(
+        finalize_frame(gb["albedo"], gb["emission"], gb["fog"], denoised, gb["depth"], bn)
+    )
+
+    mesh = make_tile_mesh(jax.devices()[:8])
+    assert H // 8 >= 2 * tiles.ROW_HALO
+    got = np.asarray(
+        render_frame_tiled(
+            (fused, tables), bn, uni, W, H, mesh, MAX_TRACE_STEPS, tracer="volume_fast"
+        )
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_tiled_frame_fused_tracer_matches_single_device():
     """The fused whole-path kernel under shard_map (band split) must equal
     the same tracer run single-device — banded camera rays, banded
