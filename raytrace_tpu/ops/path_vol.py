@@ -69,7 +69,8 @@ from .trace_jax import MATERIAL_MASK, camera_rays, frame_noise, _normalize
 from .trace_vol_pallas import (
     _make_vol_kernel,
     _occupancy_world_bounds,
-    resolve_mixed,
+    _RESOLVERS,
+    DEFAULT_RESOLVE,
 )
 
 _HALF = ROOT_BLOCK_SIZE // 2  # 128
@@ -232,7 +233,7 @@ def _transition(st, inv, origin_u, legs):
     jax.jit,
     static_argnames=(
         "width", "height", "max_steps", "rows", "interpret", "bounces",
-        "cap", "rounds", "tile_rows", "levels",
+        "cap", "rounds", "tile_rows", "levels", "resolve",
     ),
 )
 def render_gbuffers_path(
@@ -251,6 +252,7 @@ def render_gbuffers_path(
     rounds: int | None = None,
     tile_rows: int = 16,
     levels: tuple = PATH_LEVELS,
+    resolve: str | None = None,
 ) -> dict[str, jax.Array]:
     """G-buffers for arbitrary volume content via the whole-path loop.
 
@@ -260,6 +262,7 @@ def render_gbuffers_path(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    resolve_fn = _RESOLVERS[resolve or DEFAULT_RESOLVE]
     legs = {0: 1, 1: 3, 2: 5}[bounces]
     if rounds is None:
         rounds = legs * max(1, -(-max_steps // cap))
@@ -375,7 +378,7 @@ def render_gbuffers_path(
         y = jnp.where(fin, vst["y"], py)
         z = jnp.where(fin, vst["z"], pz)
 
-        fx, fy, fz, _, fmeta = resolve_mixed(
+        fx, fy, fz, _, fmeta = resolve_fn(
             detail,
             x.reshape(n_v), y.reshape(n_v), z.reshape(n_v),
             vst["dx"].reshape(n_v), vst["dy"].reshape(n_v),

@@ -573,6 +573,200 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
     )
 
 
+def resolve_mixed_parallel(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
+    """One-pass mixed-brick resolve: no march loop, no serial dependency.
+
+    The serial ``resolve_mixed`` march is a <= 23-trip ``while_loop``; at
+    1M rays each trip streams the whole ~40 MB ray state through HBM, so
+    the march costs ~7 ms regardless of how few crossings most rays need
+    (probes/out/r4_decomp.log: resolve 11.4 ms = 4.4 gather + ~7 march).
+    This version evaluates every possible crossing as an INDEPENDENT
+    candidate in one fused elementwise pass — the state is read once and
+    written once:
+
+      * a ray inside an 8^3 brick can enter a new voxel only at one of the
+        21 interior axis planes (7 per axis); each candidate's entry time
+        ``t = (plane - p) / d``, sample point, voxel bit, and validity are
+        data-parallel,
+      * the first solid voxel along the ray is the valid-solid candidate
+        with MINIMAL entry time (voxels are visited in increasing entry
+        time) — a running min with x>y>z tie priority, seeded by the
+        parked voxel itself at t = 0,
+      * a miss exits at the nearest brick/window plane ahead, computed
+        directly from the same plane arithmetic.
+
+    Geometry note: the world brick box is axis-aligned at multiples of 8
+    and never straddles the toroidal wrap — texel = (world + 128) mod 256
+    and both 128 and 256 are multiples of 8, so one detail row always
+    covers one contiguous world box.  The active window's edge (lr +- 128)
+    CAN cut through a brick; window planes join the exit-plane set and
+    candidates past them are invalid (out-of-window is air by definition,
+    and the texels beyond belong to the far side of the volume).
+
+    Semantics match resolve_mixed to float32 noise: hit/exit positions are
+    the same eps-past-the-plane points (the serial march re-snaps to each
+    boundary, so its per-step eps nudges don't accumulate), normals use
+    the same axis ids, and statuses fold into meta identically.  Exact
+    bit-parity is impossible (different fp op order), and a ray passing
+    within ~1e-5 of a voxel corner may legitimately pick the other side;
+    tests pin both resolvers against the oracle at the shared tolerances.
+    """
+    parked = (meta & _PARKED) != 0
+    lrf = lr.astype(jnp.float32)
+    eps = jnp.float32(1e-4)
+    big = jnp.float32(3.0e38)
+
+    inv_len = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-20))
+    dv = (dx * inv_len, dy * inv_len, dz * inv_len)
+    pv = (px, py, pz)
+    nrm_ids = (
+        jnp.where(dv[0] > 0, jnp.int32(1), jnp.int32(0)),
+        jnp.where(dv[1] > 0, jnp.int32(3), jnp.int32(2)),
+        jnp.where(dv[2] > 0, jnp.int32(5), jnp.int32(4)),
+    )
+
+    def oob_of(pxv, pyv, pzv):
+        return (
+            (jnp.abs(pxv - lrf[0]) >= jnp.float32(_HALF))
+            | (jnp.abs(pyv - lrf[1]) >= jnp.float32(_HALF))
+            | (jnp.abs(pzv - lrf[2]) >= jnp.float32(_HALF))
+        )
+
+    xi = jnp.floor(px).astype(jnp.int32)
+    yi = jnp.floor(py).astype(jnp.int32)
+    zi = jnp.floor(pz).astype(jnp.int32)
+    tx = (xi + _HALF) & (_N - 1)
+    ty = (yi + _HALF) & (_N - 1)
+    tz = (zi + _HALF) & (_N - 1)
+    b0 = ((tz >> 3) * NB + (ty >> 3)) * NB + (tx >> 3)
+    words = detail[jnp.where(parked, b0, 0)]  # (n, 16) row gather
+
+    # World brick box min per axis (multiples of 8; see geometry note).
+    bmin = (xi - (xi & 7), yi - (yi & 7), zi - (zi & 7))
+    bminf = tuple(b.astype(jnp.float32) for b in bmin)
+
+    # Per-axis reciprocals; zero-direction axes never produce candidates.
+    usable = tuple(jnp.abs(d) > jnp.float32(1e-20) for d in dv)
+    inv_d = tuple(
+        jnp.where(u, jnp.float32(1.0) / jnp.where(u, d, jnp.float32(1.0)), big)
+        for d, u in zip(dv, usable)
+    )
+    lp = tuple(jnp.abs(i) for i in inv_d)
+
+    def bit_of(v):
+        wsel = v >> 5
+        word = jnp.zeros_like(v)
+        for w in range(DETAIL_WORDS):
+            word = jnp.where(wsel == w, words[:, w], word)
+        return ((word >> (v & 31)) & 1) == 1
+
+    # Seed: the parked voxel itself (the serial march tests it before any
+    # step; a solid park keeps its position and incoming normal).
+    v0 = ((tz & 7) << 6) | ((ty & 7) << 3) | (tx & 7)
+    solid0 = bit_of(v0)
+    t_best = jnp.where(solid0, jnp.float32(0.0), big)
+    tp_best = jnp.zeros_like(px)  # position time incl. the eps nudge
+    nrm_best = normal
+
+    local0 = (xi & 7, yi & 7, zi & 7)
+    for axis in range(3):
+        oa, ob = (1, 2) if axis == 0 else ((0, 2) if axis == 1 else (0, 1))
+        for k in range(1, 8):
+            t = (bminf[axis] + jnp.float32(k) - pv[axis]) * inv_d[axis]
+            t = jnp.where(usable[axis], t, big)
+            tp = t + eps * lp[axis]
+            # Crossing-axis local coordinate is known exactly; the other
+            # two come from the eps-past-the-plane sample point.
+            la = jnp.where(dv[axis] > 0, jnp.int32(k), jnp.int32(k - 1))
+            sa = pv[oa] + dv[oa] * tp
+            sb = pv[ob] + dv[ob] * tp
+            loa = jnp.floor(sa).astype(jnp.int32) - bmin[oa]
+            lob = jnp.floor(sb).astype(jnp.int32) - bmin[ob]
+            in_brick = (
+                (loa >= 0) & (loa < 8) & (lob >= 0) & (lob < 8)
+            )
+            locs = [None, None, None]
+            locs[axis], locs[oa], locs[ob] = la, loa, lob
+            v = (locs[2] << 6) | (locs[1] << 3) | locs[0]
+            v = jnp.clip(v, 0, 511)  # out-of-brick candidates are masked
+            # In-window test at the sample point (the window edge may cut
+            # through the brick; beyond it is air, not this brick's bits).
+            sx = pv[0] + dv[0] * tp
+            sy = pv[1] + dv[1] * tp
+            sz = pv[2] + dv[2] * tp
+            ok = (
+                (t > 0)
+                & (t < t_best)
+                & in_brick
+                & ~oob_of(sx, sy, sz)
+                & bit_of(v)
+            )
+            t_best = jnp.where(ok, t, t_best)
+            tp_best = jnp.where(ok, tp, tp_best)
+            nrm_best = jnp.where(ok, nrm_ids[axis], nrm_best)
+
+    # Exit: nearest brick or window plane ahead (x>y>z tie priority, same
+    # as the marches' use_x/use_y selects).
+    t_exit = jnp.full_like(px, big)
+    tp_exit = jnp.full_like(px, big)
+    nrm_exit = normal
+    for axis in range(3):
+        brick_plane = bminf[axis] + jnp.where(
+            dv[axis] > 0, jnp.float32(8.0), jnp.float32(0.0)
+        )
+        win_plane = lrf[axis] + jnp.where(
+            dv[axis] > 0, jnp.float32(_HALF), jnp.float32(-_HALF)
+        )
+        plane = jnp.where(
+            dv[axis] > 0,
+            jnp.minimum(brick_plane, win_plane),
+            jnp.maximum(brick_plane, win_plane),
+        )
+        t = (plane - pv[axis]) * inv_d[axis]
+        t = jnp.where(usable[axis], t, big)
+        ok = t < t_exit
+        t_exit = jnp.where(ok, t, t_exit)
+        tp_exit = jnp.where(ok, t + eps * lp[axis], tp_exit)
+        nrm_exit = jnp.where(ok, nrm_ids[axis], nrm_exit)
+
+    # Candidate validity (in-brick, in-window) already bounds t_best by
+    # the exit; comparing against t_exit again would re-reject borderline
+    # fp cases the serial march accepts.
+    hit = parked & (t_best < big)
+    tp_out = jnp.where(hit, tp_best, tp_exit)
+    nx = px + dv[0] * tp_out
+    ny = py + dv[1] * tp_out
+    nz = pz + dv[2] * tp_out
+    nrm = jnp.where(hit, nrm_best, nrm_exit)
+    air = parked & ~hit & oob_of(nx, ny, nz)
+
+    new_meta = jnp.where(
+        parked,
+        jnp.where(
+            hit,
+            jnp.int32(_DONE) | (nrm << 2),
+            jnp.where(
+                air,
+                jnp.int32(_DONE | _AIR) | (nrm << 2),
+                nrm << 2,  # exited the brick unhit: live again
+            ),
+        ),
+        meta,
+    )
+    return (
+        jnp.where(parked, nx, px),
+        jnp.where(parked, ny, py),
+        jnp.where(parked, nz, pz),
+        jnp.where(parked, nrm, normal),
+        new_meta,
+    )
+
+
+_RESOLVERS = {"serial": resolve_mixed, "parallel": resolve_mixed_parallel}
+# Flipped to "parallel" only behind a hardware A/B; tests pin both modes.
+DEFAULT_RESOLVE = "parallel"
+
+
 # ---------------------------------------------------------------------------
 # Host-side wrapper: kernel/resolve rounds with compaction
 # ---------------------------------------------------------------------------
@@ -582,6 +776,7 @@ def resolve_mixed(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
     jax.jit,
     static_argnames=(
         "max_steps", "tile_rows", "interpret", "rounds", "cap", "cascade",
+        "resolve",
     ),
 )
 def trace_rays_vol(
@@ -597,6 +792,7 @@ def trace_rays_vol(
     cap: int = 96,
     active: jax.Array | None = None,
     escape: bool = True,
+    resolve: str | None = None,
     cascade: bool | None = None,
 ) -> dict[str, jax.Array]:
     """General-volume trace; drop-in for trace_jax.trace_rays.
@@ -662,6 +858,7 @@ def trace_rays_vol(
         interpret = jax.default_backend() != "tpu"
     if rounds is None:
         rounds = max(1, -(-max_steps // cap))
+    resolve_fn = _RESOLVERS[resolve or DEFAULT_RESOLVE]
 
     shape = origin.shape[:-1]
     n = 1
@@ -764,7 +961,7 @@ def trace_rays_vol(
             cmeta = jnp.where(fin, cmeta, meta_new)
 
             # Resolve this round's mixed-brick parks (flat views).
-            fx, fy, fz, _, fmeta = resolve_mixed(
+            fx, fy, fz, _, fmeta = resolve_fn(
                 detail,
                 cx.reshape(n_l),
                 cy.reshape(n_l),

@@ -424,6 +424,52 @@ def test_exhausted_resume_positions_chain_to_completion():
     assert all(b > a + 0.5 for a, b in zip(along, along[1:])), along
 
 
+def test_parallel_resolve_matches_serial(weird_world):
+    """The one-pass parallel resolve (all candidate crossings at once) must
+    agree with the serial march on every discrete output — air, normal,
+    exhausted, albedo — and on positions to eps scale (the two place hit
+    points the same eps past the same face; only fp op order differs, plus
+    the sliding of that eps along grazing faces, bounded ~1e-2)."""
+    fused, tables = weird_world
+    rng = np.random.default_rng(7)
+    n = 4096
+    o = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(-120, 120, n),
+                rng.uniform(-120, 120, n),
+                rng.uniform(-20, 120, n),
+            ],
+            -1,
+        ),
+        jnp.float32,
+    )
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+
+    a = {
+        k: np.asarray(v)
+        for k, v in trace_rays_vol(
+            tables, fused, o, d, LR, interpret=True, resolve="serial"
+        ).items()
+    }
+    b = {
+        k: np.asarray(v)
+        for k, v in trace_rays_vol(
+            tables, fused, o, d, LR, interpret=True, resolve="parallel"
+        ).items()
+    }
+    np.testing.assert_array_equal(a["air"], b["air"])
+    np.testing.assert_array_equal(a["exhausted"], b["exhausted"])
+    hit = ~a["air"] & ~a["exhausted"]
+    assert hit.sum() > 500
+    np.testing.assert_array_equal(a["normal"][hit], b["normal"][hit])
+    np.testing.assert_allclose(a["albedo"][hit], b["albedo"][hit], atol=1e-6)
+    dp = np.abs(a["position"] - b["position"]).max(-1)
+    assert dp[hit].max() < 2e-2, dp[hit].max()
+
+
 def test_hit_albedo_matches_volume_material(weird_world):
     """The end-of-trace material gather must return exactly the hit voxel's
     packed albedo bits from the fused volume (toroidal addressing)."""
