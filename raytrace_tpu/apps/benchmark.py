@@ -86,8 +86,9 @@ def config1_single_chunk(tracer="volume_fast"):
     "volume_fast" tracer is the brick-pyramid general path
     (ops/trace_vol_pallas.py); --tracer volume measures the exact
     reference-DDA baseline it replaced."""
+    from ..ops.path_vol import render_gbuffers_path
     from ..ops.trace_jax import fuse_volume, render_gbuffers
-    from ..ops.trace_vol_pallas import build_vol_tables, render_gbuffers_vol
+    from ..ops.trace_vol_pallas import build_vol_tables
     from ..world.generate import generate_chunk
 
     mats, mf = generate_chunk((0, 0, 0), seed=0)
@@ -109,10 +110,12 @@ def config1_single_chunk(tracer="volume_fast"):
                 fused, bn, moved(t), 512, 512, 1024, bounces=0
             )["albedo"]
     else:
+        # The whole-path round loop is the production volume_fast renderer
+        # (render/pipeline.py routes through it); measure what ships.
         tables = build_vol_tables(fused)
 
         def frame(t):
-            return render_gbuffers_vol(
+            return render_gbuffers_path(
                 fused, tables, bn, moved(t), 512, 512, 1024, bounces=0,
             )["albedo"]
 

@@ -103,14 +103,29 @@ _INERT = (5 << _LEG_SHIFT) | 1  # empty-slot filler: done, path complete
 # next feasible level.
 PATH_LEVELS = ((1, 4), (2, 3), (4, 4), (8, 6), (16, None))
 
-_STATE = (
-    "x", "y", "z", "dx", "dy", "dz", "meta",
-    "ax", "ay", "az", "prim_lin", "dif1_lin", "prim_dist",
-)
-_INV = (
-    "sd1x", "sd1y", "sd1z", "sd2x", "sd2y", "sd2z",
-    "sp1x", "sp1y", "sp1z", "sp2x", "sp2y", "sp2z",
-)
+def _state_keys(legs: int) -> tuple:
+    """Round-loop state, trimmed to what the preset can touch: bounces=0
+    (legs=1) never launches a secondary, so the anchor and dif1 buffers
+    would ride every round as dead HBM traffic (13 -> 9 planes); bounces=1
+    (legs=3) never reads dif1's hit voxel (its albedo only matters for the
+    second bounce)."""
+    keys = ["x", "y", "z", "dx", "dy", "dz", "meta", "prim_lin", "prim_dist"]
+    if legs >= 3:
+        keys += ["ax", "ay", "az"]
+    if legs >= 5:
+        keys += ["dif1_lin"]
+    return tuple(keys)
+
+
+def _inv_keys(legs: int) -> tuple:
+    """Planar invariants the round loop actually consumes: none at
+    bounces=0, first-bounce sun/sphere at bounces=1, both at bounces=2."""
+    if legs < 3:
+        return ()
+    keys = ["sd1x", "sd1y", "sd1z", "sp1x", "sp1y", "sp1z"]
+    if legs >= 5:
+        keys += ["sd2x", "sd2y", "sd2z", "sp2x", "sp2y", "sp2z"]
+    return tuple(keys)
 
 
 def _leg_of(meta):
@@ -149,22 +164,43 @@ def _transition(st, inv, origin_u, legs):
     hz = z + jnp.float32(0.001) * nzv
 
     is0 = leg == 0
-    is1 = leg == 1
-    is2 = leg == 2
-    is3 = leg == 3
-    is4 = leg == 4
     prim_hit = comp & is0 & ~air
-    dif1_hit = comp & is2 & ~air
 
     zero = jnp.zeros_like(meta)
     m = meta
     m = m | jnp.where(prim_hit, nrm << 9, zero)
     m = m | jnp.where(comp & is0 & air, jnp.int32(1 << 15), zero)
+
+    dist = jnp.sqrt(
+        (hx - origin_u[0]) ** 2
+        + (hy - origin_u[1]) ** 2
+        + (hz - origin_u[2]) ** 2
+    )
+    out = dict(
+        prim_lin=jnp.where(prim_hit, lin, st["prim_lin"]),
+        prim_dist=jnp.where(prim_hit, dist, st["prim_dist"]),
+    )
+
+    if legs == 1:
+        # bounces=0: a completed primary IS a completed path — no
+        # secondary launches, positions/directions never rewritten.
+        m = jnp.where(comp, (m & ~(7 << _LEG_SHIFT)) | (5 << _LEG_SHIFT), m)
+        return dict(
+            out, x=x, y=y, z=z,
+            dx=st["dx"], dy=st["dy"], dz=st["dz"], meta=m,
+        )
+
+    is1 = leg == 1
+    is2 = leg == 2
+    is3 = leg == 3
+    is4 = leg == 4
+    dif1_hit = comp & is2 & ~air
     m = m | jnp.where(comp & is1 & air, jnp.int32(1 << 16), zero)
-    m = m | jnp.where(dif1_hit, nrm << 12, zero)
     m = m | jnp.where(comp & is2 & air, jnp.int32(1 << 17), zero)
-    m = m | jnp.where(comp & is3 & air, jnp.int32(1 << 18), zero)
-    m = m | jnp.where(comp & is4 & air, jnp.int32(1 << 19), zero)
+    if legs >= 5:
+        m = m | jnp.where(dif1_hit, nrm << 12, zero)
+        m = m | jnp.where(comp & is3 & air, jnp.int32(1 << 18), zero)
+        m = m | jnp.where(comp & is4 & air, jnp.int32(1 << 19), zero)
 
     # Next leg: 0 -> 1 on hit / 5 on air; 1 -> 2; 2 -> 3 on hit / 5 on
     # air; 3 -> 4; 4 -> 5; capped at `legs` for reduced-bounce presets
@@ -185,47 +221,58 @@ def _transition(st, inv, origin_u, legs):
 
     start_sun1 = cont & is0
     start_dif1 = cont & is1
-    start_sun2 = cont & is2
-    start_dif2 = cont & is3
 
     # Bounce directions from the recorded hit normals (already written
     # above for rays that just hit) + the planar unit-sphere points.
     pn = (m >> 9) & 7
-    dn = (m >> 12) & 7
     d1x, d1y, d1z = shading.diffuse_from_sphere(
         jnp, (inv["sp1x"], inv["sp1y"], inv["sp1z"]), pn
     )
-    d2x, d2y, d2z = shading.diffuse_from_sphere(
-        jnp, (inv["sp2x"], inv["sp2y"], inv["sp2z"]), dn
-    )
 
-    def pick4(a, b, c, d, old):
-        return jnp.where(
-            start_sun1, a,
-            jnp.where(start_dif1, b, jnp.where(start_sun2, c, jnp.where(start_dif2, d, old))),
+    if legs >= 5:
+        start_sun2 = cont & is2
+        start_dif2 = cont & is3
+        dn = (m >> 12) & 7
+        d2x, d2y, d2z = shading.diffuse_from_sphere(
+            jnp, (inv["sp2x"], inv["sp2y"], inv["sp2z"]), dn
         )
 
-    ndx = pick4(inv["sd1x"], d1x, inv["sd2x"], d2x, st["dx"])
-    ndy = pick4(inv["sd1y"], d1y, inv["sd2y"], d2y, st["dy"])
-    ndz = pick4(inv["sd1z"], d1z, inv["sd2z"], d2z, st["dz"])
-    npx = pick4(hx, st["ax"], hx, st["ax"], x)
-    npy = pick4(hy, st["ay"], hy, st["ay"], y)
-    npz = pick4(hz, st["az"], hz, st["az"], z)
+        def pick(a, b, c, d, old):
+            return jnp.where(
+                start_sun1, a,
+                jnp.where(
+                    start_dif1, b,
+                    jnp.where(start_sun2, c, jnp.where(start_dif2, d, old)),
+                ),
+            )
 
-    set_anchor = prim_hit | dif1_hit
-    dist = jnp.sqrt(
-        (hx - origin_u[0]) ** 2
-        + (hy - origin_u[1]) ** 2
-        + (hz - origin_u[2]) ** 2
-    )
+        ndx = pick(inv["sd1x"], d1x, inv["sd2x"], d2x, st["dx"])
+        ndy = pick(inv["sd1y"], d1y, inv["sd2y"], d2y, st["dy"])
+        ndz = pick(inv["sd1z"], d1z, inv["sd2z"], d2z, st["dz"])
+        npx = pick(hx, st["ax"], hx, st["ax"], x)
+        npy = pick(hy, st["ay"], hy, st["ay"], y)
+        npz = pick(hz, st["az"], hz, st["az"], z)
+        set_anchor = prim_hit | dif1_hit
+        out["dif1_lin"] = jnp.where(dif1_hit, lin, st["dif1_lin"])
+    else:
+        # legs == 3: only sun1/dif1 ever start; dif1's hit voxel/anchor
+        # are never consumed (no second bounce).
+        def pick(a, b, old):
+            return jnp.where(start_sun1, a, jnp.where(start_dif1, b, old))
+
+        ndx = pick(inv["sd1x"], d1x, st["dx"])
+        ndy = pick(inv["sd1y"], d1y, st["dy"])
+        ndz = pick(inv["sd1z"], d1z, st["dz"])
+        npx = pick(hx, st["ax"], x)
+        npy = pick(hy, st["ay"], y)
+        npz = pick(hz, st["az"], z)
+        set_anchor = prim_hit
+
     return dict(
-        x=npx, y=npy, z=npz, dx=ndx, dy=ndy, dz=ndz, meta=m,
+        out, x=npx, y=npy, z=npz, dx=ndx, dy=ndy, dz=ndz, meta=m,
         ax=jnp.where(set_anchor, hx, st["ax"]),
         ay=jnp.where(set_anchor, hy, st["ay"]),
         az=jnp.where(set_anchor, hz, st["az"]),
-        prim_lin=jnp.where(prim_hit, lin, st["prim_lin"]),
-        dif1_lin=jnp.where(dif1_hit, lin, st["dif1_lin"]),
-        prim_dist=jnp.where(prim_hit, dist, st["prim_dist"]),
     )
 
 
@@ -287,10 +334,12 @@ def render_gbuffers_path(
         )
         return _normalize(d)
 
-    sd1 = sun_dir_from(noise1)
-    sd2 = sun_dir_from(noise2)
-    sp1 = shading.sphere_point(jnp, noise1[..., 0], noise1[..., 1])
-    sp2 = shading.sphere_point(jnp, noise2[..., 0], noise2[..., 1])
+    if legs >= 3:
+        sd1 = sun_dir_from(noise1)
+        sp1 = shading.sphere_point(jnp, noise1[..., 0], noise1[..., 1])
+    if legs >= 5:
+        sd2 = sun_dir_from(noise2)
+        sp2 = shading.sphere_point(jnp, noise2[..., 0], noise2[..., 1])
 
     n = n_rows * width
     per_tile = tile_rows * LANES
@@ -303,6 +352,8 @@ def render_gbuffers_path(
         f = jnp.pad(f, (0, n_pad - n), constant_values=pad_value)
         return f.reshape(rows_t, LANES)
 
+    state_keys = _state_keys(legs)
+    inv_keys = _inv_keys(legs)
     st = dict(
         x=flat(origin[..., 0]),
         y=flat(origin[..., 1]),
@@ -311,19 +362,28 @@ def render_gbuffers_path(
         dy=flat(ray_dir[..., 1]),
         dz=flat(ray_dir[..., 2], 1.0),
         meta=jnp.zeros((rows_t, LANES), jnp.int32),
-        ax=jnp.zeros((rows_t, LANES), jnp.float32),
-        ay=jnp.zeros((rows_t, LANES), jnp.float32),
-        az=jnp.zeros((rows_t, LANES), jnp.float32),
         prim_lin=jnp.full((rows_t, LANES), -1, jnp.int32),
-        dif1_lin=jnp.full((rows_t, LANES), -1, jnp.int32),
         prim_dist=jnp.zeros((rows_t, LANES), jnp.float32),
     )
-    inv = dict(
-        sd1x=flat(sd1[..., 0]), sd1y=flat(sd1[..., 1]), sd1z=flat(sd1[..., 2], 1.0),
-        sd2x=flat(sd2[..., 0]), sd2y=flat(sd2[..., 1]), sd2z=flat(sd2[..., 2], 1.0),
-        sp1x=flat(sp1[0]), sp1y=flat(sp1[1]), sp1z=flat(sp1[2], 1.0),
-        sp2x=flat(sp2[0]), sp2y=flat(sp2[1]), sp2z=flat(sp2[2], 1.0),
-    )
+    inv = {}
+    if legs >= 3:
+        st.update(
+            ax=jnp.zeros((rows_t, LANES), jnp.float32),
+            ay=jnp.zeros((rows_t, LANES), jnp.float32),
+            az=jnp.zeros((rows_t, LANES), jnp.float32),
+        )
+        inv.update(
+            sd1x=flat(sd1[..., 0]), sd1y=flat(sd1[..., 1]),
+            sd1z=flat(sd1[..., 2], 1.0),
+            sp1x=flat(sp1[0]), sp1y=flat(sp1[1]), sp1z=flat(sp1[2], 1.0),
+        )
+    if legs >= 5:
+        st["dif1_lin"] = jnp.full((rows_t, LANES), -1, jnp.int32)
+        inv.update(
+            sd2x=flat(sd2[..., 0]), sd2y=flat(sd2[..., 1]),
+            sd2z=flat(sd2[..., 2], 1.0),
+            sp2x=flat(sp2[0]), sp2y=flat(sp2[1]), sp2z=flat(sp2[2], 1.0),
+        )
 
     lri = uniforms["lr"].astype(jnp.int32)
     occ_bounds = _occupancy_world_bounds(tables["any8b"], lri)
@@ -418,7 +478,7 @@ def render_gbuffers_path(
         if R == 1:
             def body(s):
                 nst = one_round(
-                    {k: s[k] for k in _STATE}, inv
+                    {k: s[k] for k in state_keys}, inv
                 )
                 return dict(nst, r=s["r"] + 1)
 
@@ -428,7 +488,7 @@ def render_gbuffers_path(
             out = jax.lax.while_loop(
                 cond, body, dict(st, r=jnp.int32(0))
             )
-            st = {k: out[k] for k in _STATE}
+            st = {k: out[k] for k in state_keys}
         else:
             # Slotted view: position (i, l) of the view considers rays
             # {(i, l), (i + rows_v, l), ...} and takes the first live one;
@@ -454,12 +514,12 @@ def render_gbuffers_path(
                 live = (_leg_of(s["meta"]) < 5).reshape(R, rows_v, LANES)
                 sel = jnp.argmax(live, axis=0)
                 got = jnp.any(live, axis=0)
-                vst = {k: pick(s[k], sel) for k in _STATE}
+                vst = {k: pick(s[k], sel) for k in state_keys}
                 vst["meta"] = jnp.where(got, vst["meta"], jnp.int32(_INERT))
-                vinv = {k: pick(inv[k], sel) for k in _INV}
+                vinv = {k: pick(inv[k], sel) for k in inv_keys}
                 nst = one_round(vst, vinv)
                 merged = {
-                    k: put(s[k], nst[k], sel, got) for k in _STATE
+                    k: put(s[k], nst[k], sel, got) for k in state_keys
                 }
                 return dict(merged, r=s["r"] + 1)
 
@@ -469,7 +529,7 @@ def render_gbuffers_path(
             out = jax.lax.while_loop(
                 cond, body, dict(st, r=jnp.int32(0))
             )
-            st = {k: out[k] for k in _STATE}
+            st = {k: out[k] for k in state_keys}
         consumed += level
         if last:
             break
@@ -486,9 +546,7 @@ def render_gbuffers_path(
     sun2_air = ((meta >> 18) & 1) == 1
     dif2_air = ((meta >> 19) & 1) == 1
     pn = (meta >> 9) & 7
-    dn = (meta >> 12) & 7
     prim_lin = unflat(st["prim_lin"])
-    dif1_lin = unflat(st["dif1_lin"])
     prim_dist = unflat(st["prim_dist"])
     hit1 = prim_lin >= 0
     prim_exhausted = (leg == 0) & ~prim_air & ~hit1
@@ -514,7 +572,6 @@ def render_gbuffers_path(
         )
 
     albedo1 = albedo_at(prim_lin, hit1)
-    albedo2 = albedo_at(dif1_lin, dif1_lin >= 0)
 
     sunlight_vec = jnp.stack(sunlight)
 
@@ -543,6 +600,9 @@ def render_gbuffers_path(
             dif1_air[..., None], sky(d1, True), 0.0
         )
     if legs >= 5:
+        dn = (meta >> 12) & 7
+        dif1_lin = unflat(st["dif1_lin"])
+        albedo2 = albedo_at(dif1_lin, dif1_lin >= 0)
         d2 = jnp.stack(
             shading.diffuse_from_sphere(
                 jnp,

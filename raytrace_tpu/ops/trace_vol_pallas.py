@@ -35,11 +35,17 @@ Architecture (TPU-first, not a port):
     every round at full width.
 
 Hit semantics (positions, face normals, the 1e-4 boundary epsilon, the
-0.001 hit nudge, out-of-bounds => sky, toroidal texel = (world + 128) mod
-256 addressing) match ops/trace_jax.trace_rays / raytrace.comp; golden
-tests compare the two tracers on generated worlds AND on non-heightfield
-content (floating boxes, caves) that the heightfield fast path cannot
-represent.
+0.001 nudge on HIT positions, out-of-bounds => sky, toroidal texel =
+(world + 128) mod 256 addressing) match ops/trace_jax.trace_rays /
+raytrace.comp.  One deliberate divergence: the reference (and the sibling
+tracers) nudge AIR results too, via the last-crossed normal
+(raytrace.comp:166-180); here air and exhausted rays return their RAW
+resume position, because consumers chaining exhausted resume points need
+un-nudged positions to make progress (see the comment at the nudge site)
+and no consumer reads air positions (secondary launches are hit-gated,
+air depth is the 0xFFFF sentinel).  Golden tests compare the two tracers
+on generated worlds AND on non-heightfield content (floating boxes,
+caves) that the heightfield fast path cannot represent.
 """
 
 from __future__ import annotations
@@ -590,8 +596,12 @@ def resolve_mixed_parallel(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
         data-parallel,
       * the first solid voxel along the ray is the valid-solid candidate
         with MINIMAL entry time (voxels are visited in increasing entry
-        time) — a running min with x>y>z tie priority, seeded by the
-        parked voxel itself at t = 0,
+        time) — a running strict-< min scanned x,y,z, so the EARLIER
+        axis wins an exact entry-time tie (x>y>z priority).  The serial
+        march's use_x/use_y selects give the LATER axis tie priority
+        (z>y>x), so the two modes can pick different normals/voxels at
+        exact fp corner crossings — within the documented corner
+        tolerance.  Seeded by the parked voxel itself at t = 0,
       * a miss exits at the nearest brick/window plane ahead, computed
         directly from the same plane arithmetic.
 
@@ -668,7 +678,6 @@ def resolve_mixed_parallel(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
     tp_best = jnp.zeros_like(px)  # position time incl. the eps nudge
     nrm_best = normal
 
-    local0 = (xi & 7, yi & 7, zi & 7)
     for axis in range(3):
         oa, ob = (1, 2) if axis == 0 else ((0, 2) if axis == 1 else (0, 1))
         for k in range(1, 8):
@@ -705,8 +714,9 @@ def resolve_mixed_parallel(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
             tp_best = jnp.where(ok, tp, tp_best)
             nrm_best = jnp.where(ok, nrm_ids[axis], nrm_best)
 
-    # Exit: nearest brick or window plane ahead (x>y>z tie priority, same
-    # as the marches' use_x/use_y selects).
+    # Exit: nearest brick or window plane ahead.  Strict-< scanned x,y,z
+    # gives the earlier axis tie priority (the serial march's selects give
+    # the later axis priority on ties; fp-corner tolerance covers it).
     t_exit = jnp.full_like(px, big)
     tp_exit = jnp.full_like(px, big)
     nrm_exit = normal
@@ -763,8 +773,15 @@ def resolve_mixed_parallel(detail, px, py, pz, dx, dy, dz, normal, meta, lr):
 
 
 _RESOLVERS = {"serial": resolve_mixed, "parallel": resolve_mixed_parallel}
-# Flipped to "parallel" only behind a hardware A/B; tests pin both modes.
-DEFAULT_RESOLVE = "parallel"
+# Hardware A/B (probes/out/r4_resolve_ab.log, TPU v5e, 2026-08-19): serial
+# wins everywhere measured — bench shape LV_D cap=224 92.46 ms vs 120.00,
+# 1M random legs 73.95 ms vs 116.61, config 1 15.52 ms vs 22.86+.  The
+# one-pass resolve reads 16 detail words x 21 candidates worth of selects
+# per ray regardless of need; the serial march's while_loop exits early for
+# the common 1-3-crossing case and its HBM streaming cost only bites at
+# full width (where the kernel pass dominates anyway).  Tests pin both
+# modes; "parallel" stays available via resolve=.
+DEFAULT_RESOLVE = "serial"
 
 
 # ---------------------------------------------------------------------------
@@ -1149,9 +1166,11 @@ def trace_rays_vol(
 
     distance = jnp.linalg.norm(origin - pos, axis=-1)
     nxv, nyv, nzv = shading.face_normal_vector(jnp, normal)
-    # The 0.001 face-normal nudge belongs to HITS only (the reference
-    # nudges the hit point before launching secondary rays,
-    # raytrace.comp:166-180).  Exhausted (and air) rays return their RAW
+    # The 0.001 face-normal nudge is applied to HITS only.  This is a
+    # DELIBERATE divergence from the reference, which nudges every result
+    # (air included, via the last-crossed normal — raytrace.comp:166-180),
+    # as do trace_jax/trace_pallas/reference_tracer; no consumer reads air
+    # positions here (see module header).  Exhausted rays return their RAW
     # resume position: nudging them by the stale entry normal pushed the
     # resume point ~0.001 back across the face just crossed, so any
     # consumer chaining resume positions re-parked in the SAME brick

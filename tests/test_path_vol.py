@@ -191,3 +191,90 @@ def test_row_band_matches_full_frame(weird_world):
     }
     for k in full:
         np.testing.assert_array_equal(band[k], full[k][8:24], err_msg=k)
+
+
+def test_exhaustion_contract_at_budget_boundary(weird_world):
+    """Pin the one-sided exhaustion contract (module docstring) AT the
+    budget boundary, not just away from it:
+
+      1. at matched budgets (path rounds = legs * ceil(steps / cap), each
+         round granting up to ``cap`` kernel steps) the plain path loop
+         never exhausts a primary the staged path completes: the shared
+         budget lets a ray redistribute rounds between legs, so any ray
+         that fits every staged per-leg cap fits the shared budget too
+         (here the staged path cuts >1000 grazing primaries at steps=64
+         while the path loop completes every one);
+      2. under an explicit tiny ``rounds=`` budget, slotted narrowing only
+         ADDS casualties relative to the plain loop (collisions delay
+         rays, shrinking the rounds a ray actually sees) — never removes
+         any;
+      3. every exhausted primary reports the REPORT_ERROR pink-pixel
+         analog (raytrace.comp:5-7,387-400) and the frame stays finite;
+      4. primaries that survive the harshest slotting at the tiny budget
+         produce bit-identical discrete G-buffers to the staged pipeline
+         (depth/normal/albedo are pure functions of the primary march,
+         which is memoryless in position/direction).
+    """
+    fused, tables = weird_world
+    # Grazing the slab surface: wide spread of per-ray round counts.
+    uni = _uniforms((0.0, -80.0, 12.2), -0.02)
+    bn = jnp.asarray(get_blue_noise_f32())
+    steps = 64
+    PINK = 256 * 254
+
+    def exhausted(gb):
+        return np.asarray(gb["depth"]) == PINK
+
+    # --- clause 1: matched budgets -------------------------------------
+    staged = render_gbuffers_vol(
+        fused, tables, bn, uni, 64, 64, steps, bounces=2
+    )
+    plain = render_gbuffers_path(
+        fused, tables, bn, uni, 64, 64, steps, bounces=2,
+        levels=((1, None),),
+    )
+    ex_staged = exhausted(staged)
+    ex_plain = exhausted(plain)
+    assert ex_staged.any()  # the boundary actually bites the staged path
+    assert not (ex_plain & ~ex_staged).any()
+
+    # --- clauses 2-4: explicit tiny budget, harshest feasible slotting
+    # (one full round, then R=2 slots: every collision halves a ray's
+    # rounds; a 64x64 frame is 2 tiles, so grid 2 admits R=2).
+    rounds = 3
+    plain_t = render_gbuffers_path(
+        fused, tables, bn, uni, 64, 64, steps, bounces=2,
+        levels=((1, None),), rounds=rounds,
+    )
+    slotted_t = render_gbuffers_path(
+        fused, tables, bn, uni, 64, 64, steps, bounces=2,
+        levels=((1, 1), (2, None)), rounds=rounds,
+    )
+    ex_plain_t = exhausted(plain_t)
+    ex_slot_t = exhausted(slotted_t)
+    # Preconditions: both exhaust, and slotting adds real casualties.
+    assert ex_plain_t.any()
+    assert (ex_slot_t & ~ex_plain_t).any()
+    # 2. slotting never rescues a ray the plain loop cuts.
+    assert not (ex_plain_t & ~ex_slot_t).any()
+
+    # 3. pink fog on every exhausted primary; frames finite.
+    for gb, ex in ((plain_t, ex_plain_t), (slotted_t, ex_slot_t)):
+        fog = np.asarray(gb["fog"])
+        np.testing.assert_array_equal(
+            fog[ex], np.tile([1.0, 0.0, 1.0], (ex.sum(), 1))
+        )
+        assert np.isfinite(np.asarray(gb["lighting"])).all()
+
+    # 4. survivors bit-identical to the staged pipeline on the discrete
+    # buffers (where both completed).
+    ok = ~ex_slot_t & ~ex_staged
+    assert ok.any()
+    for k in ("depth", "normal"):
+        np.testing.assert_array_equal(
+            np.asarray(slotted_t[k])[ok], np.asarray(staged[k])[ok],
+            err_msg=k,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(slotted_t["albedo"])[ok], np.asarray(staged["albedo"])[ok]
+    )

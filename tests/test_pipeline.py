@@ -96,7 +96,16 @@ def test_committed_golden_frame():
     """The production frame at the canonical terrain view must match the
     committed golden (guards cross-session drift in worldgen, tracing, or
     the tone pipeline; regenerate the .npz deliberately if the WORLD
-    DEFINITION itself changes)."""
+    DEFINITION itself changes).
+
+    Golden provenance: generated on the CPU interpret path (the backend
+    this test runs on).  Regenerated once in round 4 (e2de480); the TRUE
+    cause of that drift — bisected in round 5, see commit message — was
+    the deliberate shading.diffuse_from_sphere degenerate-direction guard
+    added in 49e4cbb (diffuse directions at exact-1.0 noise samples feed
+    sky sampling, then 6 denoise passes spread the changed pixels to ~84%
+    of the frame at max |err| 0.013).  Reverting only that guard
+    reproduces the previous golden bit-exactly."""
     from pathlib import Path
 
     from raytrace_tpu.ops.denoise_pallas import denoise_finalize_pallas
