@@ -98,10 +98,18 @@ _INERT = (5 << _LEG_SHIFT) | 1  # empty-slot filler: done, path complete
 # last feasible level receives the whole remaining budget.  Full-width
 # rounds cover the primary leg and the first bounce wave; deeper levels
 # hold the decaying live curve (paths complete legs at different rates)
-# and the grazing-skimmer tail at 1/16 width.  A level is skipped when
+# and the grazing-skimmer tail at 1/32 width.  A level is skipped when
 # the grid doesn't divide by R (tiny frames); its budget folds into the
 # next feasible level.
-PATH_LEVELS = ((1, 4), (2, 3), (4, 4), (8, 6), (16, None))
+#
+# Schedule and cap are hardware-tuned (TPU v5e, 1024^2 bounces=2 full
+# pipeline, probes/out/r4_path_tune.log + r5_session1.log): this schedule
+# at cap=288 runs 84.81 ms (61.8 Mrays/s) vs 195.78 ms at the round-4
+# defaults ((1,4),(2,3),(4,4),(8,6),(16,None)) cap=96.  The cap sweep was
+# monotone down through 288 (96: 133.7, 160: 103.2, 224: 91.6, 288:
+# 84.8 ms); a deeper 64-wide level (LV_E) measured no better than noise.
+PATH_LEVELS = ((1, 1), (2, 2), (4, 2), (8, 3), (16, 6), (32, None))
+DEFAULT_CAP = 288
 
 def _state_keys(legs: int) -> tuple:
     """Round-loop state, trimmed to what the preset can touch: bounces=0
@@ -295,7 +303,7 @@ def render_gbuffers_path(
     rows: int | None = None,
     interpret: bool | None = None,
     bounces: int = 2,
-    cap: int = 96,
+    cap: int = DEFAULT_CAP,
     rounds: int | None = None,
     tile_rows: int = 16,
     levels: tuple = PATH_LEVELS,
