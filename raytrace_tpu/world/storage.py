@@ -11,6 +11,15 @@ u8 x 64^3].  Compression uses the framework's native C++ LZ4 block codec
 built, a zlib fallback is used with a distinct magic so the two formats are
 never confused.
 
+Deliberate container divergence: the reference wraps the payload in the
+LZ4 *frame* format (chunk_storage.rs:42-68 via `lz4::EncoderBuilder`);
+this cache writes its own magic-tagged block container (RTL4 header +
+raw-size word + LZ4 blocks).  The decompressed payload bytes are
+identical, but the two caches are not byte-interoperable on disk — a
+reference cache cannot be read by this framework or vice versa.  Chunks
+regenerate deterministically from the seed, so nothing is lost by the
+divergence.
+
 TPU-native role: this cache is the *host-side* persistence layer ("the only
 checkpoint/resume mechanism", SURVEY §5).  The hot path renders straight from
 device-generated terrain; the cache exists for parity (offline pre-gen CLI,
