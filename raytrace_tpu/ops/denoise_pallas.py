@@ -47,6 +47,16 @@ BAND = 32  # rows per grid step (amortizes the halo window copy ~4x)
 # plans while bounding the true footprint, not the unpadded one.
 MAX_VMEM_PIXELS = 1_700_000
 
+# The pixel budget alone is NOT a compile bound: 1088^2 (1.40M padded px,
+# well inside MAX_VMEM_PIXELS) fails to compile at the DEFAULT scoped-VMEM
+# limit while 1024^2 (1.25M) passes (probes/out/r5_denoise_vmem.log,
+# round-4 VERDICT weak #3).  Any padded plane beyond the known-good 1024^2
+# footprint — striped or not — needs the raised limit from
+# scoped_vmem_options; demand scales ~40 B/padded-px (49.64 MiB measured
+# at a 1.25M-px strip plane), so the full 1.7M-px budget stays under
+# ~70 MiB << the 96 MiB limit.
+DEFAULT_LIMIT_PIXELS = 1_260_000
+
 # Column-strip halo: the 6-pass chain's total influence radius is
 # sum(3 * size) = 117 px, so 128 real halo columns per side make a strip's
 # center columns bit-identical to the full-frame chain — contamination from
@@ -61,24 +71,39 @@ assert STRIP_HALO > 3 * sum(DENOISE_SIZES)
 # The raised scoped-VMEM stack budget for programs that run the striped
 # chain (see scoped_vmem_options).  Single source of truth — the pipeline
 # and the tiled path import it rather than re-stating the number.
-SCOPED_VMEM_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": 49152}
+#
+# 96 MiB, not the round-3 48 MiB: XLA's scoped-VMEM demand is
+# PROGRAM-dependent (module-wide assignment), and 48 MiB hard-failed
+# compiles on real shapes — 1080p denoise-standalone demanded 49.64 MiB,
+# a 4K whole-path probe 61.59 MiB, and a 4K bounces=2 full frame failed
+# outright (probes/out/r5_denoise_vmem.log: FAIL at 48M, 417.6 ms at
+# 96M).  v5e VMEM is 128 MiB and the limit bounds only stack-style
+# scoped allocations; known-good programs measured no regression beyond
+# tunnel noise at 96M (cfg2 82.52 -> 84.95 ms, within the documented
+# ±10% run-to-run band).
+SCOPED_VMEM_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": 98304}
 
 
 def scoped_vmem_options(h0: int, w: int) -> dict | None:
-    """compiler_options for a jit whose program runs the striped chain.
+    """compiler_options for a jit whose program runs the denoise chain.
 
-    XLA's memory-space assignment places the strip kernels' sliced
-    operands/outputs in scoped VMEM; at 1080p that demands ~30 MB against
-    the 16 MB default scoped limit and the whole program fails to compile
-    (AOT "Ran out of memory in memory space vmem ... on stack").  Raising
-    the limit is safe — v5e VMEM is 128 MB and the limit only bounds
-    stack-style scoped allocations — and measured faster than shrinking
-    strips: 1080p full frame 78.7 ms vs 121 ms on the XLA fallback chain.
-    Returns None when the frame fits unstriped (keep the default limit so
-    XLA's choices for the hot 1024² path are untouched).
+    XLA's memory-space assignment places the chain kernels' resident
+    operands/outputs in scoped VMEM; beyond the 1024² footprint that
+    demand exceeds the default scoped limit and the whole program fails
+    to compile (AOT "Ran out of memory in memory space vmem ... on
+    stack") — for striped plans AND for in-budget unstriped shapes like
+    1088² (probes/out/r5_denoise_vmem.log).  Raising the limit is safe —
+    v5e VMEM is 128 MB and the limit only bounds stack-style scoped
+    allocations — and measured faster than shrinking strips: 1080p full
+    frame 78.7 ms vs 121 ms on the XLA fallback chain.  Returns None
+    only when the padded plane is within the proven default-limit
+    footprint (the hot 1024² path keeps XLA's untouched defaults).
     """
     plan = _strip_plan(h0, w)
-    if plan is None or plan == "xla":
+    if plan == "xla":
+        return None
+    hp = -(-h0 // BAND) * BAND + 2 * PAD
+    if plan is None and hp * (w + 2 * PAD) <= DEFAULT_LIMIT_PIXELS:
         return None
     return SCOPED_VMEM_OPTIONS
 

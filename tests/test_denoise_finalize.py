@@ -200,7 +200,12 @@ def test_striped_finalize_matches_unstriped(monkeypatch):
 
 
 def test_scoped_vmem_options_boundaries():
-    """The compiler-option helper fires exactly when the strip plan does."""
+    """The compiler-option helper fires for every padded plane beyond the
+    proven 1024² default-limit footprint — striped or not.  Hardware
+    calibration (probes/out/r5_denoise_vmem.log): 1088², 1152² and
+    1536×896 are inside the strip-plan pixel budget yet FAIL to compile
+    at the default scoped limit; returning options only for striped
+    plans (the round-3/4 behavior) left them hard compile failures."""
     from raytrace_tpu.ops.denoise_pallas import (
         MAX_VMEM_PIXELS,
         _strip_plan,
@@ -210,6 +215,11 @@ def test_scoped_vmem_options_boundaries():
     # 1024² fits unstriped: the hot path must keep default options.
     assert _strip_plan(1024, 1024) is None
     assert scoped_vmem_options(1024, 1024) is None
+    # The round-4 crash class: unstriped but beyond the 1024² footprint.
+    for h, w in ((1088, 1088), (1152, 1152), (896, 1536)):
+        assert _strip_plan(h, w) is None
+        opts = scoped_vmem_options(h, w)
+        assert opts and "xla_tpu_scoped_vmem_limit_kib" in opts, (h, w)
     # 1080p strips: the option must be present and name the XLA flag.
     assert isinstance(_strip_plan(1080, 1920), list)
     opts = scoped_vmem_options(1080, 1920)
