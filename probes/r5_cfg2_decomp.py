@@ -93,6 +93,28 @@ def main():
             lambda t, tl=tl: gb(t, 1920, 1080, tail_rows=tl),
             f"1080p b1 tail_rows={tl}",
         )
+    print("--- unroll sweep at 1080p ---", flush=True)
+    for u in (4, 5):
+        _timeit(
+            lambda t, u=u: gb(t, 1920, 1080, unroll=u),
+            f"1080p b1 unroll={u}",
+        )
+    print("--- 1080p full frame (G-buffers + strip denoise) ---", flush=True)
+    from raytrace_tpu.ops.denoise_pallas import (
+        denoise_finalize_pallas,
+        scoped_vmem_options,
+    )
+
+    def full(t, **kw):
+        g = render_gbuffers_fused(
+            tables, bn, moved(t), 1920, 1080, MAX_TRACE_STEPS, 0,
+            bounces=1, **kw
+        )
+        return denoise_finalize_pallas(g, bn)
+
+    opts = scoped_vmem_options(1080, 1920)
+    _timeit(lambda t: full(t), "1080p full frame (shipped)", opts=opts)
+    _timeit(lambda t: full(t, unroll=4), "1080p full frame unroll=4", opts=opts)
 
 
 if __name__ == "__main__":

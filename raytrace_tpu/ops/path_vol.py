@@ -108,8 +108,23 @@ _INERT = (5 << _LEG_SHIFT) | 1  # empty-slot filler: done, path complete
 # defaults ((1,4),(2,3),(4,4),(8,6),(16,None)) cap=96.  The cap sweep was
 # monotone down through 288 (96: 133.7, 160: 103.2, 224: 91.6, 288:
 # 84.8 ms); a deeper 64-wide level (LV_E) measured no better than noise.
+#
+# A level entry is (R, budget) or (R, budget, cap): R is the view
+# reduction, budget the round count at that width (None = remaining),
+# cap overrides the kernel step cap for that level's rounds (None /
+# absent = the call-wide cap).  Small caps on the full-width levels bound
+# the cost of the first wave (where every ray marches) without starving
+# the narrowed straggler levels.
 PATH_LEVELS = ((1, 1), (2, 2), (4, 2), (8, 3), (16, 6), (32, None))
 DEFAULT_CAP = 288
+
+# bounces=0 (single-leg) schedule: the live set collapses after the
+# primary wave, so narrow fast and spend the budget at 1/8 and 1/32
+# width.  Hardware-tuned at 512^2 primary-only (probes/out/
+# r5_session1.log + r5_session2b.log): 8.93 ms (29.4 Mrays/s) vs
+# 14.95 ms at the bounces=2 defaults above.
+PATH_LEVELS_B0 = ((1, 1), (8, 2), (32, None))
+DEFAULT_CAP_B0 = 224
 
 def _state_keys(legs: int) -> tuple:
     """Round-loop state, trimmed to what the preset can touch: bounces=0
@@ -303,22 +318,29 @@ def render_gbuffers_path(
     rows: int | None = None,
     interpret: bool | None = None,
     bounces: int = 2,
-    cap: int = DEFAULT_CAP,
+    cap: int | None = None,
     rounds: int | None = None,
     tile_rows: int = 16,
-    levels: tuple = PATH_LEVELS,
+    levels: tuple | None = None,
     resolve: str | None = None,
 ) -> dict[str, jax.Array]:
     """G-buffers for arbitrary volume content via the whole-path loop.
 
     Drop-in for trace_vol_pallas.render_gbuffers_vol (same G-buffer dict,
     same hit semantics; see module docstring for the architecture and the
-    exhaustion contract).  `levels` is the round-narrowing schedule.
+    exhaustion contract).  `levels` is the round-narrowing schedule;
+    `levels=None`/`cap=None` pick the hardware-tuned default for the
+    bounce preset (PATH_LEVELS_B0/PATH_LEVELS — single-leg frames narrow
+    much faster than the 5-leg path, see the constants' comments).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     resolve_fn = _RESOLVERS[resolve or DEFAULT_RESOLVE]
     legs = {0: 1, 1: 3, 2: 5}[bounces]
+    if levels is None:
+        levels = PATH_LEVELS_B0 if legs == 1 else PATH_LEVELS
+    if cap is None:
+        cap = DEFAULT_CAP_B0 if legs == 1 else DEFAULT_CAP
     if rounds is None:
         rounds = legs * max(1, -(-max_steps // cap))
 
@@ -406,9 +428,10 @@ def render_gbuffers_path(
         t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
 
-    def one_round(vst, vinv):
+    def one_round(vst, vinv, cap_l=None):
         """kernel pass -> mixed-brick resolve -> leg transition, on a
-        (rows_v, LANES) view."""
+        (rows_v, LANES) view; cap_l overrides the call-wide step cap."""
+        cap_l = cap if cap_l is None else cap_l
         rows_v = vst["x"].shape[0]
         grid_v = rows_v // tile_rows
         n_v = rows_v * LANES
@@ -419,7 +442,7 @@ def render_gbuffers_path(
         iz = jnp.where(fin, jnp.float32(1e9), vst["z"])
         idz = jnp.where(fin, jnp.float32(1.0), vst["dz"])
 
-        kernel = _make_vol_kernel(tile_rows, cap)
+        kernel = _make_vol_kernel(tile_rows, cap_l)
         px, py, pz, nrm, status = pl.pallas_call(
             kernel,
             grid=(grid_v,),
@@ -469,12 +492,14 @@ def render_gbuffers_path(
 
     # --- level loop: full-width rounds, then slotted-view rounds -------
     feasible = [
-        (R, b) for R, b in levels if grid % R == 0 and grid // R >= 1
+        (lv[0], lv[1], lv[2] if len(lv) > 2 else None)
+        for lv in levels
+        if grid % lv[0] == 0 and grid // lv[0] >= 1
     ]
     if not feasible:
-        feasible = [(1, None)]
+        feasible = [(1, None, None)]
     consumed = 0
-    for li, (R, budget) in enumerate(feasible):
+    for li, (R, budget, cap_l) in enumerate(feasible):
         last = li == len(feasible) - 1
         level = (rounds - consumed) if (budget is None or last) else min(
             budget, rounds - consumed
@@ -484,9 +509,9 @@ def render_gbuffers_path(
         rows_v = rows_t // R
 
         if R == 1:
-            def body(s):
+            def body(s, cap_l=cap_l):
                 nst = one_round(
-                    {k: s[k] for k in state_keys}, inv
+                    {k: s[k] for k in state_keys}, inv, cap_l
                 )
                 return dict(nst, r=s["r"] + 1)
 
@@ -518,14 +543,14 @@ def render_gbuffers_path(
                 ]
                 return jnp.stack(merged, 0).reshape(rows_t, LANES)
 
-            def body(s, R=R, rows_v=rows_v, pick=pick, put=put):
+            def body(s, R=R, rows_v=rows_v, pick=pick, put=put, cap_l=cap_l):
                 live = (_leg_of(s["meta"]) < 5).reshape(R, rows_v, LANES)
                 sel = jnp.argmax(live, axis=0)
                 got = jnp.any(live, axis=0)
                 vst = {k: pick(s[k], sel) for k in state_keys}
                 vst["meta"] = jnp.where(got, vst["meta"], jnp.int32(_INERT))
                 vinv = {k: pick(inv[k], sel) for k in inv_keys}
-                nst = one_round(vst, vinv)
+                nst = one_round(vst, vinv, cap_l)
                 merged = {
                     k: put(s[k], nst[k], sel, got) for k in state_keys
                 }

@@ -278,3 +278,58 @@ def test_exhaustion_contract_at_budget_boundary(weird_world):
     np.testing.assert_array_equal(
         np.asarray(slotted_t["albedo"])[ok], np.asarray(staged["albedo"])[ok]
     )
+
+
+def test_per_level_caps_match_uniform_cap(weird_world):
+    """(R, budget, cap) 3-tuples: a schedule that splits the step budget
+    across levels with per-level caps must reproduce the uniform-cap
+    frame exactly when every ray terminates within budget — the kernel
+    march is memoryless in position/direction, so WHERE the cap
+    boundaries fall cannot change any hit."""
+    fused, tables = weird_world
+    uni = _uniforms((0.0, -80.0, 40.0), -0.4)
+    bn = jnp.asarray(get_blue_noise_f32())
+    base = {
+        k: np.asarray(v)
+        for k, v in render_gbuffers_path(
+            fused, tables, bn, uni, 64, 64, _STEPS, bounces=1,
+            levels=((1, None),), cap=256,
+        ).items()
+    }
+    split = {
+        k: np.asarray(v)
+        for k, v in render_gbuffers_path(
+            fused, tables, bn, uni, 64, 64, _STEPS, bounces=1,
+            levels=((1, 3, 64), (1, None, 256)), cap=256,
+        ).items()
+    }
+    assert not (base["depth"] == 256 * 254).any()
+    assert not (split["depth"] == 256 * 254).any()
+    for k in base:
+        np.testing.assert_array_equal(split[k], base[k], err_msg=k)
+
+
+def test_per_legs_default_schedule(weird_world):
+    """levels=None / cap=None resolve to the bounce preset's tuned
+    schedule: bounces=0 gets PATH_LEVELS_B0/DEFAULT_CAP_B0, deeper
+    presets keep PATH_LEVELS/DEFAULT_CAP (probes/out/r5_session1.log:
+    the 5-leg schedule is ~1.7x slower on single-leg frames)."""
+    from raytrace_tpu.ops.path_vol import (
+        DEFAULT_CAP_B0,
+        PATH_LEVELS_B0,
+    )
+
+    fused, tables = weird_world
+    uni = _uniforms((0.0, -80.0, 40.0), -0.4)
+    bn = jnp.asarray(get_blue_noise_f32())
+    implicit = render_gbuffers_path(
+        fused, tables, bn, uni, 32, 32, _STEPS, bounces=0
+    )
+    explicit = render_gbuffers_path(
+        fused, tables, bn, uni, 32, 32, _STEPS, bounces=0,
+        levels=PATH_LEVELS_B0, cap=DEFAULT_CAP_B0,
+    )
+    for k in implicit:
+        np.testing.assert_array_equal(
+            np.asarray(explicit[k]), np.asarray(implicit[k]), err_msg=k
+        )
