@@ -211,21 +211,37 @@ def _run():
     dt = dts[0]
     mrays = WIDTH * HEIGHT * RAYS_PER_PIXEL / dt / 1e6
     median_mrays = WIDTH * HEIGHT * RAYS_PER_PIXEL / dts[1] / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "path_trace_throughput",
-                "value": round(mrays, 2),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
-                # Extra context: the value is best-of-3 (honest device
-                # capability); median + all runs expose the ±10% tunnel
-                # variance so a single lucky run can't mislead.
-                "median": round(median_mrays, 2),
-                "runs_ms": [round(d * 1e3, 2) for d in dts],
-            }
+    record = {
+        "metric": "path_trace_throughput",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+        # Extra context: the value is best-of-3 (honest device
+        # capability); median + all runs expose the ±10% tunnel
+        # variance so a single lucky run can't mislead.
+        "median": round(median_mrays, 2),
+        "runs_ms": [round(d * 1e3, 2) for d in dts],
+    }
+    if tracer == "volume_fast":
+        # Quality audit (round-5 lesson): a round schedule that exhausts
+        # rays paints pink pixels instead of tracing — its throughput
+        # would be fiction.  Must be 0 for the number to count.
+        from raytrace_tpu.ops.path_vol import render_gbuffers_path
+
+        record["exhausted_px"] = int(
+            jax.jit(
+                lambda t: jnp.sum(
+                    (
+                        render_gbuffers_path(
+                            world[0], world[1], pipeline.blue_noise,
+                            uniforms, WIDTH, HEIGHT,
+                        )["depth"]
+                        == 65024
+                    ).astype(jnp.int32)
+                )
+            )(jnp.float32(0.0))
         )
-    )
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

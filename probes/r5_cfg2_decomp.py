@@ -116,6 +116,29 @@ def main():
     _timeit(lambda t: full(t), "1080p full frame (shipped)", opts=opts)
     _timeit(lambda t: full(t, unroll=4), "1080p full frame unroll=4", opts=opts)
 
+    print("--- 1080p UNSTRIPED denoise attempt (raised limits) ---", flush=True)
+    # The 2.39M-padded-px unstriped plane failed at the 48M scoped limit;
+    # at ~40 B/padded-px the demand is ~95.6 MiB, right at the new 96 MiB
+    # option and under a 112 MiB trial (v5e VMEM is 128 MiB).  If this
+    # compiles and beats strips, MAX_VMEM_PIXELS can rise past 1080p.
+    import raytrace_tpu.ops.denoise_pallas as dp
+
+    saved = dp.MAX_VMEM_PIXELS
+    for limit_kib in (98304, 114688):
+        dp.MAX_VMEM_PIXELS = 2_500_000
+        try:
+            assert dp._strip_plan(1080, 1920) is None
+            _timeit(
+                lambda t: full(t),
+                f"1080p full frame UNSTRIPED limit={limit_kib//1024}M",
+                opts={"xla_tpu_scoped_vmem_limit_kib": limit_kib},
+            )
+            break
+        except Exception as e:
+            print(f"  limit={limit_kib//1024}M FAILED: {str(e)[:160]}", flush=True)
+        finally:
+            dp.MAX_VMEM_PIXELS = saved
+
 
 if __name__ == "__main__":
     main()

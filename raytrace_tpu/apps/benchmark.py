@@ -105,22 +105,38 @@ def config1_single_chunk(tracer="volume_fast"):
         return dict(uni, origin=uni["origin"] + t * jnp.asarray([1.0, 1.0, 0.0]))
 
     if tracer == "volume":
-        def frame(t):
+        def gb(t):
             return render_gbuffers(
                 fused, bn, moved(t), 512, 512, 1024, bounces=0
-            )["albedo"]
+            )
     else:
         # The whole-path round loop is the production volume_fast renderer
         # (render/pipeline.py routes through it); measure what ships.
         tables = build_vol_tables(fused)
 
-        def frame(t):
+        def gb(t):
             return render_gbuffers_path(
                 fused, tables, bn, moved(t), 512, 512, 1024, bounces=0,
-            )["albedo"]
+            )
+
+    def frame(t):
+        return gb(t)["albedo"]
+
+    # Quality audit in the emitted record: a schedule that exhausts rays
+    # renders pink pixels instead of doing the work — its Mrays/s would be
+    # fiction (round-5 lesson: a timing-only retune shipped a default that
+    # cut 31% of this very config's primaries).  Exhausted must be 0.
+    exhausted = int(
+        jax.jit(
+            lambda t: jnp.sum((gb(t)["depth"] == 65024).astype(jnp.int32))
+        )(jnp.float32(0.0))
+    )
 
     dt = _time_chained(frame)
-    return _emit("1_single_chunk_primary", 512 * 512 / dt / 1e6, "Mrays/s")
+    return _emit(
+        "1_single_chunk_primary", 512 * 512 / dt / 1e6, "Mrays/s",
+        {"exhausted_px": exhausted},
+    )
 
 
 def config2_world_1080p(tracer="fused"):

@@ -102,12 +102,17 @@ _INERT = (5 << _LEG_SHIFT) | 1  # empty-slot filler: done, path complete
 # the grid doesn't divide by R (tiny frames); its budget folds into the
 # next feasible level.
 #
-# Schedule and cap are hardware-tuned (TPU v5e, 1024^2 bounces=2 full
-# pipeline, probes/out/r4_path_tune.log + r5_session1.log): this schedule
-# at cap=288 runs 84.81 ms (61.8 Mrays/s) vs 195.78 ms at the round-4
-# defaults ((1,4),(2,3),(4,4),(8,6),(16,None)) cap=96.  The cap sweep was
-# monotone down through 288 (96: 133.7, 160: 103.2, 224: 91.6, 288:
-# 84.8 ms); a deeper 64-wide level (LV_E) measured no better than noise.
+# QUALITY WARNING (round-5 session-4 audit): the round-4/round-5 tuning
+# that produced this schedule shape (probes/out/r4_path_tune.log,
+# r5_session1-3.log) gated on timing alone, and its "wins" were partly
+# rays cut to the pink-pixel analog — on the BENCH WORLD itself this
+# schedule without the safety drain exhausts 355k/1M primaries
+# (probes/out/r5_session4.log).  The safety drain below
+# (render_gbuffers_path `safety`) now makes any schedule cut-free by
+# running extra narrowed rounds only while mid-path rays remain; the
+# (schedule, cap, safety_R) defaults are picked by the gated matrix in
+# probes/r5_session6.py, where every timing row must render the COMPLETE
+# frame (exhausted == converged-reference, energy ratio == 1).
 #
 # A level entry is (R, budget) or (R, budget, cap): R is the view
 # reduction, budget the round count at that width (None = remaining),
@@ -116,13 +121,11 @@ _INERT = (5 << _LEG_SHIFT) | 1  # empty-slot filler: done, path complete
 # the cost of the first wave (where every ray marches) without starving
 # the narrowed straggler levels.
 PATH_LEVELS = ((1, 1), (2, 2), (4, 2), (8, 3), (16, 6), (32, None))
-DEFAULT_CAP = 288
+DEFAULT_CAP = 416
 
-# bounces=0 (single-leg) schedule: the live set collapses after the
-# primary wave, so narrow fast and spend the budget at 1/8 and 1/32
-# width.  Hardware-tuned at 512^2 primary-only (probes/out/
-# r5_session1.log + r5_session2b.log): 8.93 ms (29.4 Mrays/s) vs
-# 14.95 ms at the bounces=2 defaults above.
+# bounces=0 (single-leg) schedule.  Same caveat as above: tuned pre-drain
+# on timing alone (it cut 31% of config 1's primaries); kept as the speed
+# schedule under the drain, re-gated in probes/r5_session6.py.
 PATH_LEVELS_B0 = ((1, 1), (8, 2), (32, None))
 DEFAULT_CAP_B0 = 224
 
@@ -303,7 +306,8 @@ def _transition(st, inv, origin_u, legs):
     jax.jit,
     static_argnames=(
         "width", "height", "max_steps", "rows", "interpret", "bounces",
-        "cap", "rounds", "tile_rows", "levels", "resolve",
+        "cap", "rounds", "tile_rows", "levels", "resolve", "safety",
+        "safety_R",
     ),
 )
 def render_gbuffers_path(
@@ -323,6 +327,8 @@ def render_gbuffers_path(
     tile_rows: int = 16,
     levels: tuple | None = None,
     resolve: str | None = None,
+    safety: int | None = None,
+    safety_R: int = 4,
 ) -> dict[str, jax.Array]:
     """G-buffers for arbitrary volume content via the whole-path loop.
 
@@ -332,6 +338,20 @@ def render_gbuffers_path(
     `levels=None`/`cap=None` pick the hardware-tuned default for the
     bounce preset (PATH_LEVELS_B0/PATH_LEVELS — single-leg frames narrow
     much faster than the 5-leg path, see the constants' comments).
+
+    `safety` bounds the post-schedule SAFETY DRAIN (the cascade's
+    "suffix-only safety loop" analog, trace_vol_pallas render_gbuffers_vol):
+    the level schedule is a SPEED schedule fitted to one scene's live
+    curve, not a correctness budget — on content whose live curve decays
+    slower (round-5 audit: a sparse single-chunk world at a grazing view
+    keeps 58% of primaries live past round one), its narrowed levels run
+    out of slot capacity and cut up to a third of the frame to pink.  The
+    drain runs extra rounds at reduction `safety_R` ONLY while mid-path
+    rays remain, so a schedule that converged pays one vacuous while_loop
+    test and nothing else.  None (default) = `rounds` extra rounds —
+    every ray then gets at least the staged path's per-leg budget before
+    the exhaustion analog can fire; 0 disables the drain (the
+    budget-boundary tests pin the raw schedule mechanics this way).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -491,6 +511,59 @@ def render_gbuffers_path(
         return _transition(nst, vinv, origin_u, legs)
 
     # --- level loop: full-width rounds, then slotted-view rounds -------
+    def run_full(st, level, cap_l):
+        def body(s, cap_l=cap_l):
+            nst = one_round({k: s[k] for k in state_keys}, inv, cap_l)
+            return dict(nst, r=s["r"] + 1)
+
+        def cond(s):
+            return (s["r"] < level) & jnp.any(_leg_of(s["meta"]) < 5)
+
+        out = jax.lax.while_loop(cond, body, dict(st, r=jnp.int32(0)))
+        return {k: out[k] for k in state_keys}
+
+    def run_slotted(st, R, level, cap_l):
+        # Slotted view: position (i, l) of the view considers rays
+        # {(i, l), (i + rows_v, l), ...} and takes the first live one;
+        # collisions wait in place and are selected on a later round
+        # (they re-enter at their resume state — the marches are
+        # memoryless in position/direction).
+        rows_v = rows_t // R
+
+        def pick(v, sel):
+            vv = v.reshape(R, rows_v, LANES)
+            out = vv[0]
+            for k in range(1, R):
+                out = jnp.where(sel == k, vv[k], out)
+            return out
+
+        def put(v, new, sel, got):
+            vv = v.reshape(R, rows_v, LANES)
+            merged = [
+                jnp.where(got & (sel == k), new, vv[k])
+                for k in range(R)
+            ]
+            return jnp.stack(merged, 0).reshape(rows_t, LANES)
+
+        def body(s, R=R, rows_v=rows_v, pick=pick, put=put, cap_l=cap_l):
+            live = (_leg_of(s["meta"]) < 5).reshape(R, rows_v, LANES)
+            sel = jnp.argmax(live, axis=0)
+            got = jnp.any(live, axis=0)
+            vst = {k: pick(s[k], sel) for k in state_keys}
+            vst["meta"] = jnp.where(got, vst["meta"], jnp.int32(_INERT))
+            vinv = {k: pick(inv[k], sel) for k in inv_keys}
+            nst = one_round(vst, vinv, cap_l)
+            merged = {
+                k: put(s[k], nst[k], sel, got) for k in state_keys
+            }
+            return dict(merged, r=s["r"] + 1)
+
+        def cond(s):
+            return (s["r"] < level) & jnp.any(_leg_of(s["meta"]) < 5)
+
+        out = jax.lax.while_loop(cond, body, dict(st, r=jnp.int32(0)))
+        return {k: out[k] for k in state_keys}
+
     feasible = [
         (lv[0], lv[1], lv[2] if len(lv) > 2 else None)
         for lv in levels
@@ -506,66 +579,28 @@ def render_gbuffers_path(
         )
         if level <= 0:
             continue
-        rows_v = rows_t // R
-
         if R == 1:
-            def body(s, cap_l=cap_l):
-                nst = one_round(
-                    {k: s[k] for k in state_keys}, inv, cap_l
-                )
-                return dict(nst, r=s["r"] + 1)
-
-            def cond(s):
-                return (s["r"] < level) & jnp.any(_leg_of(s["meta"]) < 5)
-
-            out = jax.lax.while_loop(
-                cond, body, dict(st, r=jnp.int32(0))
-            )
-            st = {k: out[k] for k in state_keys}
+            st = run_full(st, level, cap_l)
         else:
-            # Slotted view: position (i, l) of the view considers rays
-            # {(i, l), (i + rows_v, l), ...} and takes the first live one;
-            # collisions wait in place and are selected on a later round
-            # (they re-enter at their resume state — the marches are
-            # memoryless in position/direction).
-            def pick(v, sel):
-                vv = v.reshape(R, rows_v, LANES)
-                out = vv[0]
-                for k in range(1, R):
-                    out = jnp.where(sel == k, vv[k], out)
-                return out
-
-            def put(v, new, sel, got):
-                vv = v.reshape(R, rows_v, LANES)
-                merged = [
-                    jnp.where(got & (sel == k), new, vv[k])
-                    for k in range(R)
-                ]
-                return jnp.stack(merged, 0).reshape(rows_t, LANES)
-
-            def body(s, R=R, rows_v=rows_v, pick=pick, put=put, cap_l=cap_l):
-                live = (_leg_of(s["meta"]) < 5).reshape(R, rows_v, LANES)
-                sel = jnp.argmax(live, axis=0)
-                got = jnp.any(live, axis=0)
-                vst = {k: pick(s[k], sel) for k in state_keys}
-                vst["meta"] = jnp.where(got, vst["meta"], jnp.int32(_INERT))
-                vinv = {k: pick(inv[k], sel) for k in inv_keys}
-                nst = one_round(vst, vinv, cap_l)
-                merged = {
-                    k: put(s[k], nst[k], sel, got) for k in state_keys
-                }
-                return dict(merged, r=s["r"] + 1)
-
-            def cond(s):
-                return (s["r"] < level) & jnp.any(_leg_of(s["meta"]) < 5)
-
-            out = jax.lax.while_loop(
-                cond, body, dict(st, r=jnp.int32(0))
-            )
-            st = {k: out[k] for k in state_keys}
+            st = run_slotted(st, R, level, cap_l)
         consumed += level
         if last:
             break
+
+    # --- safety drain: the schedule is speed, this is correctness ------
+    # Extra rounds at reduction safety_R that run ONLY while mid-path rays
+    # remain (the while_loop cond is False on arrival when the schedule
+    # converged, so the common case pays one vacuous test).  See the
+    # docstring; quality pinned by test_b0_default_schedule_cuts_no_rays.
+    drain = rounds if safety is None else safety
+    if drain > 0:
+        R_s = safety_R
+        while R_s > 1 and grid % R_s != 0:
+            R_s //= 2
+        if R_s == 1:
+            st = run_full(st, drain, None)
+        else:
+            st = run_slotted(st, R_s, drain, None)
 
     # --- final planar pass: radiance + G-buffers -----------------------
     def unflat(v):

@@ -153,12 +153,14 @@ def test_slotted_levels_identical(weird_world):
 def test_exhaustion_reports_pink(weird_world):
     """A tiny round budget cuts primary legs mid-flight: the REPORT_ERROR
     analog (pink fog, near-max depth) must fire and the frame stay
-    finite."""
+    finite.  safety=0 pins the raw schedule (production's safety drain
+    exists precisely to rescue these rays)."""
     fused, tables = weird_world
     uni = _uniforms((0.0, -80.0, 12.0), -0.02)  # grazing the slab surface
     bn = jnp.asarray(get_blue_noise_f32())
     gb = render_gbuffers_path(
-        fused, tables, bn, uni, 24, 24, 512, bounces=2, rounds=1
+        fused, tables, bn, uni, 24, 24, 512, bounces=2, rounds=1,
+        safety=0,
     )
     depth = np.asarray(gb["depth"])
     fog = np.asarray(gb["fog"])
@@ -214,6 +216,9 @@ def test_exhaustion_contract_at_budget_boundary(weird_world):
          produce bit-identical discrete G-buffers to the staged pipeline
          (depth/normal/albedo are pure functions of the primary march,
          which is memoryless in position/direction).
+
+    All renders pass safety=0: the contract governs the raw schedule; the
+    production safety drain sits on top and only ever removes casualties.
     """
     fused, tables = weird_world
     # Grazing the slab surface: wide spread of per-ray round counts.
@@ -231,7 +236,7 @@ def test_exhaustion_contract_at_budget_boundary(weird_world):
     )
     plain = render_gbuffers_path(
         fused, tables, bn, uni, 64, 64, steps, bounces=2,
-        levels=((1, None),),
+        levels=((1, None),), safety=0,
     )
     ex_staged = exhausted(staged)
     ex_plain = exhausted(plain)
@@ -244,11 +249,11 @@ def test_exhaustion_contract_at_budget_boundary(weird_world):
     rounds = 3
     plain_t = render_gbuffers_path(
         fused, tables, bn, uni, 64, 64, steps, bounces=2,
-        levels=((1, None),), rounds=rounds,
+        levels=((1, None),), rounds=rounds, safety=0,
     )
     slotted_t = render_gbuffers_path(
         fused, tables, bn, uni, 64, 64, steps, bounces=2,
-        levels=((1, 1), (2, None)), rounds=rounds,
+        levels=((1, 1), (2, None)), rounds=rounds, safety=0,
     )
     ex_plain_t = exhausted(plain_t)
     ex_slot_t = exhausted(slotted_t)
@@ -333,3 +338,50 @@ def test_per_legs_default_schedule(weird_world):
         np.testing.assert_array_equal(
             np.asarray(explicit[k]), np.asarray(implicit[k]), err_msg=k
         )
+
+
+@pytest.fixture(scope="module")
+def single_chunk_world():
+    """The apps/benchmark config-1 scene: one generated 64^3 chunk floating
+    in an otherwise maximally-empty volume (minefield 6 everywhere else)."""
+    from raytrace_tpu.world.generate import generate_chunk
+
+    mats, mf = generate_chunk((0, 0, 0), seed=0)
+    vol_m = jnp.zeros((256, 256, 256), jnp.uint32)
+    vol_f = jnp.full((256, 256, 256), 6, jnp.uint8)
+    vol_m = vol_m.at[128:192, 128:192, 128:192].set(mats)
+    vol_f = vol_f.at[128:192, 128:192, 128:192].set(mf)
+    fused = fuse_volume(vol_m, vol_f)
+    return fused, build_vol_tables(fused)
+
+
+def test_b0_default_schedule_cuts_no_rays(single_chunk_world):
+    """The PRODUCTION bounces=0 defaults must not exhaust rays that a flat
+    schedule converges within the same max_steps.
+
+    Regression pin for the round-5 session-3 tuning mistake: a b0 schedule
+    chosen on timing alone exhausted 31% of primaries on this very scene
+    (magenta frame) because its grazing view keeps ~58% of rays live past
+    the first round (one mixed-brick crossing per round along the terrain
+    surface) and the narrowed levels' slot capacity was far below that
+    live curve.  128^2 is the smallest frame where the narrow levels are
+    feasible at all (smaller grids drop them from the schedule), i.e. the
+    smallest frame that can regress this way.
+    """
+    fused, tables = single_chunk_world
+    bn = jnp.asarray(get_blue_noise_f32())
+    uni = _uniforms((32.0, -40.0, 60.0), -0.5)
+    got = render_gbuffers_path(
+        fused, tables, bn, uni, 128, 128, 1024, bounces=0
+    )
+    ref = render_gbuffers_path(
+        fused, tables, bn, uni, 128, 128, 1024, bounces=0,
+        levels=((1, None),), cap=224, rounds=8,
+    )
+    ref = {k: np.asarray(v) for k, v in ref.items()}
+    got = {k: np.asarray(v) for k, v in got.items()}
+    assert int((ref["depth"] == 65024).sum()) == 0, "reference not converged"
+    assert int((got["depth"] == 65024).sum()) == 0, (
+        "production b0 defaults exhaust rays the flat schedule converges"
+    )
+    _assert_frames_equal(ref, got)
