@@ -102,6 +102,12 @@ def main():
             dt = _timeit(lambda t, b=b: gb(t, b)["lighting"],
                          f"b{b} G-buffers SORT_SEG={seg}")
             results[(b, seg)] = dt
+    # No-partition variant at b1: with only 3 legs the tail may be small
+    # enough that skipping the 13-operand sort entirely wins (b2 measured
+    # caps=() 52.6 vs 28.1 ms — but that was 5 legs).
+    lp.SORT_SEG = 1
+    _timeit(lambda t: gb(t, 1, caps=())["lighting"], "b1 G-buffers caps=()")
+
     best1 = min((v, s) for (b, s), v in results.items() if b == 1)
     best2 = min((v, s) for (b, s), v in results.items() if b == 2)
     print(f"winners: b1 seg={best1[1]} ({best1[0]:.2f} ms), "
